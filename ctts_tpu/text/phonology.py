@@ -208,24 +208,27 @@ def classify_last_phoneme(text: bytes) -> PhonemeType:
 
 def get_adaptive_crossfade(prev_end: PhonemeType, next_start: PhonemeType,
                            config) -> float:
-    """Phoneme-aware crossfade duration in ms (ctts.c:1857-1892)."""
-    base = config.crossfade_ms
+    """Phoneme-aware crossfade duration in ms (ctts.c:1857-1892).
+    float32 arithmetic, matching the C expressions."""
+    import numpy as np
+
+    base = np.float32(config.crossfade_ms)
     if next_start == PhonemeType.PLOSIVE:
-        return base * 0.2
+        return float(base * np.float32(0.2))
     if prev_end == PhonemeType.PLOSIVE:
-        return base * 0.3
+        return float(base * np.float32(0.3))
     if next_start == PhonemeType.FRICATIVE or prev_end == PhonemeType.FRICATIVE:
-        return base * 0.4
+        return float(base * np.float32(0.4))
     if prev_end == PhonemeType.VOWEL and next_start == PhonemeType.VOWEL:
-        return config.crossfade_vowel_ms
+        return float(np.float32(config.crossfade_vowel_ms))
     if prev_end == PhonemeType.VOWEL and next_start != PhonemeType.VOWEL:
-        return base * config.vowel_to_consonant_factor
+        return float(base * np.float32(config.vowel_to_consonant_factor))
     if prev_end in (PhonemeType.NASAL, PhonemeType.LIQUID) or next_start in (
         PhonemeType.NASAL,
         PhonemeType.LIQUID,
     ):
-        return base * 0.7
-    return base
+        return float(base * np.float32(0.7))
+    return float(base)
 
 
 def _last_cp(text: bytes) -> int:

@@ -1,0 +1,174 @@
+"""Benchmark: aggregate synthesis throughput on the available device(s).
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "...", "vs_baseline": N, ...}
+
+Headline metric: audio-seconds synthesized per wall-second per chip
+(real-time factor, end-to-end: text → plan → device → int16). The
+reference publishes no numbers (BASELINE.md); `vs_baseline` compares
+against the C binary's single-core RTF measured on this host when the
+reference tree and gcc are available, else 0.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+SAMPLE_RATE = 22050
+
+TEXTS = [
+    "como vai?",
+    "que legal!",
+    "eu quero café, pão, e manteiga",
+    "bom dia. como vai. tudo bem.",
+    "eu tenho 5 livros",
+    "são 42 pessoas",
+    "a rosa é vermelha",
+    "minha casa é grande",
+    "o rato roeu a roupa do rei de roma",
+    "vamos para a praia",
+    "o brasil é um país muito bonito",
+    "quando chegar em casa, me liga",
+    "preciso comprar coisas para casa",
+    "hoje de manhã eu acordei cedo e fui trabalhar",
+    "isso é incrível!",
+    "onde fica o banco?",
+]
+
+
+def build_db(root: str) -> str:
+    from ctts_tpu.db.builder import build_database
+    from ctts_tpu.db.dataset import generate_dataset
+
+    ds = os.path.join(root, "dataset")
+    generate_dataset(ds)
+    dbp = os.path.join(root, "voice.db")
+    build_database(
+        os.path.join(ds, "letters", "wavs"),
+        os.path.join(ds, "letters", "letters.txt"),
+        os.path.join(ds, "syllables", "wavs"),
+        os.path.join(ds, "syllables", "sillabes.txt"),
+        dbp,
+        verbose=False,
+    )
+    return dbp
+
+
+def measure_c_reference(root: str, dbp: str) -> float:
+    """Single-core RTF of the reference C binary, or 0 if unavailable."""
+    ref = "/root/reference/ctts.c"
+    if not os.path.exists(ref) or shutil.which("gcc") is None:
+        return 0.0
+    binpath = os.path.join(root, "ctts_ref")
+    try:
+        subprocess.run(
+            ["gcc", "-O3", "-std=c99", "-o", binpath, ref, "-lm"],
+            check=True, capture_output=True, timeout=120,
+        )
+    except Exception:
+        return 0.0
+    total_audio = 0.0
+    t0 = time.perf_counter()
+    for i, text in enumerate(TEXTS):
+        out = os.path.join(root, f"ref_{i}.wav")
+        r = subprocess.run(
+            [binpath, "synth", dbp, text, out, "1.0"],
+            capture_output=True, cwd=root, timeout=120,
+        )
+        if r.returncode != 0:
+            return 0.0
+        total_audio += (os.path.getsize(out) - 44) / 2 / SAMPLE_RATE
+    dt = time.perf_counter() - t0
+    return total_audio / dt if dt > 0 else 0.0
+
+
+def main() -> None:
+    import jax
+
+    # Persistent compilation cache across bench runs/rounds.
+    cache_dir = os.environ.get("CTTS_JAX_CACHE", "/tmp/ctts_jax_cache")
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    from ctts_tpu.config import config_defaults
+    from ctts_tpu.parallel.batch import BatchSynthesizer
+    from ctts_tpu.parallel.mesh import make_mesh
+    from ctts_tpu.db.reader import VoiceDatabase
+
+    root = tempfile.mkdtemp(prefix="ctts_bench_")
+    dbp = build_db(root)
+    db = VoiceDatabase(dbp)
+
+    n_chips = len(jax.devices())
+    mesh = make_mesh() if n_chips > 1 else None
+
+    config = config_defaults()
+    # One dims bucket for the whole corpus → a single XLA compilation.
+    floor = {"U": 32, "R": 16, "FD": 8, "WREG": 32768, "SMAX": 131072}
+    bs = BatchSynthesizer(db, config, mesh=mesh, dims_floor=floor)
+
+    batch_mult = int(os.environ.get("CTTS_BENCH_BATCH_MULT", "16"))
+    texts = TEXTS * batch_mult  # e.g. 256 sentences
+
+    # Warmup with the full batch (single bucket + single batch size →
+    # exactly one XLA compilation).
+    _ = bs.synthesize(texts)
+
+    # Steady-state measurement.
+    iters = int(os.environ.get("CTTS_BENCH_ITERS", "3"))
+    t0 = time.perf_counter()
+    total_audio = 0.0
+    for _ in range(iters):
+        outs = bs.synthesize(texts)
+        total_audio += sum(o.shape[0] for o in outs) / SAMPLE_RATE
+    dt = time.perf_counter() - t0
+    rtf = total_audio / dt
+    rtf_per_chip = rtf / max(n_chips, 1)
+
+    # Parity vs oracle on one utterance (device-path accuracy).
+    from ctts_tpu.plan.compiler import compile_plan
+    from ctts_tpu.synth.oracle import execute_plan_oracle
+
+    plan = compile_plan(db, TEXTS[3], config, None, 1.0)
+    ref = execute_plan_oracle(plan, db)
+    got = bs.synthesize([TEXTS[3]])[0]
+    n = min(len(ref), len(got))
+    max_abs = float(
+        np.abs(ref[:n].astype(np.int32) - got[:n].astype(np.int32)).max()
+        / 32768.0
+    ) if n else 1.0
+    len_match = bool(len(ref) == len(got))
+
+    c_rtf = measure_c_reference(root, dbp)
+    vs_baseline = rtf / c_rtf if c_rtf > 0 else 0.0
+
+    print(json.dumps({
+        "metric": "audio_seconds_per_second_per_chip",
+        "value": round(rtf_per_chip, 2),
+        "unit": "x_realtime",
+        "vs_baseline": round(vs_baseline, 2),
+        "aggregate_x_realtime": round(rtf, 2),
+        "n_chips": n_chips,
+        "batch_sentences": len(texts),
+        "c_reference_x_realtime": round(c_rtf, 2),
+        "parity_max_abs_vs_oracle": max_abs,
+        "parity_length_match": len_match,
+    }))
+
+
+if __name__ == "__main__":
+    main()

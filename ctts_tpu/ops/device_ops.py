@@ -1,0 +1,293 @@
+"""JAX/XLA device implementations of the synthesis DSP stages.
+
+Everything here is jit-compatible: static shapes, masked dynamic lengths,
+`lax.scan`/`lax.cond` control flow. Numerics follow the reference's int16
+lattice via ops.quant (truncating stores, wrapping OLA accumulators);
+reductions use XLA's f32 sums, which reorders accumulation relative to the
+C loops — divergence shows up only when a discrete decision (pitch argmax,
+WSOLA offset) sits on a float near-tie. The NumPy oracle
+(ctts_tpu.synth.dsp_np) is the semantic ground truth; tests bound the
+device-vs-oracle deviation.
+
+Parity sources cited per function (file:line into /root/reference).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ctts_tpu.constants import SAMPLE_RATE
+from ctts_tpu.ops.luts import fade_in_gain, fade_out_gain, hann, sine_fade_gain
+from ctts_tpu.ops.quant import q16, trunc16, wrap16
+
+F32 = jnp.float32
+
+# Static bounds (validated by the plan builder).
+PITCH_MIN_LAG = SAMPLE_RATE // 400  # 55
+PITCH_MAX_LAG = SAMPLE_RATE // 80   # 275
+PITCH_ANALYSIS = SAMPLE_RATE // 100  # 220
+
+
+_PITCH_SPAN = PITCH_MAX_LAG + PITCH_ANALYSIS  # 495
+
+
+def _pitch_from_segment(seg: jnp.ndarray, count: jnp.ndarray) -> jnp.ndarray:
+    """Shared pitch search: `seg` is [_PITCH_SPAN] holding the analysis
+    region's first 495 samples (zero-padded past `count` is fine — masks
+    below exclude them). Correlations are computed with `jnp.correlate`
+    (→ XLA conv → MXU) instead of large gathers."""
+    max_lag = jnp.minimum(PITCH_MAX_LAG, count // 2)
+    analysis_len = jnp.minimum(PITCH_ANALYSIS, count - max_lag)
+
+    i = jnp.arange(PITCH_ANALYSIS)
+    mask_i = (i < analysis_len).astype(F32)
+    base_m = seg[:PITCH_ANALYSIS] * mask_i
+
+    # corr_all[k] = Σ_i base_m[i] * seg[k + i], k = 0..PITCH_MAX_LAG
+    corr_all = jnp.correlate(seg, base_m, mode="valid")          # [276]
+    # e2_all[k] = Σ_i mask[i] * seg[k + i]^2
+    e2_all = jnp.correlate(seg * seg, mask_i, mode="valid")      # [276]
+    e1 = jnp.sum(base_m * base_m)
+
+    lags = jnp.arange(PITCH_MIN_LAG, PITCH_MAX_LAG + 1)
+    corr = corr_all[PITCH_MIN_LAG:]
+    e2 = e2_all[PITCH_MIN_LAG:]
+
+    norm = jnp.sqrt(e1 * e2)
+    corr = jnp.where(norm > 0, corr / norm, corr)
+    corr = jnp.where(lags <= max_lag, corr, F32(-jnp.inf))
+
+    best = jnp.argmax(corr)
+    pitch = jnp.where(corr[best] > F32(0.3),
+                      F32(SAMPLE_RATE) / lags[best].astype(F32), F32(0.0))
+    usable = (count >= 200) & (analysis_len > 0) & (max_lag >= PITCH_MIN_LAG)
+    return jnp.where(usable, pitch, F32(0.0))
+
+
+def estimate_pitch_win(window: jnp.ndarray, count: jnp.ndarray) -> jnp.ndarray:
+    """estimate_pitch (ctts.c:1899-1943) over the LAST `count` samples of
+    `window` (a fixed-size right-aligned buffer). Returns f32 Hz (0 =
+    unvoiced)."""
+    win_len = window.shape[0]
+    # Region = window[win_len-count:]; the search only touches its first
+    # max_lag+analysis_len ≤ count samples, but the static 495-slice may
+    # run past the window end when count < 495 — pad with zeros (masked).
+    padded = jnp.concatenate([window, jnp.zeros(_PITCH_SPAN, F32)])
+    start = jnp.clip(win_len - count, 0, win_len)
+    seg = jax.lax.dynamic_slice(padded, (start,), (_PITCH_SPAN,))
+    return _pitch_from_segment(seg, count)
+
+
+def estimate_pitch_head(x: jnp.ndarray, count: jnp.ndarray) -> jnp.ndarray:
+    """estimate_pitch over the FIRST `count` samples of x."""
+    seg = x[:_PITCH_SPAN]
+    return _pitch_from_segment(seg, count)
+
+
+def pitch_shift_blend(
+    head: jnp.ndarray, shift_region: jnp.ndarray, factor: jnp.ndarray
+) -> jnp.ndarray:
+    """apply_pitch_shift + ramp blend on a unit head
+    (ctts.c:1946-1976, 2006-2021). `head` is a fixed-size [H] buffer whose
+    first `shift_region` samples are live. Returns the blended head."""
+    H = head.shape[0]
+    i = jnp.arange(H)
+
+    # apply_pitch_shift is a no-op unless 0.9 ≤ factor ≤ 1.1 and ≥100
+    # samples.
+    do_shift = (factor >= F32(0.9)) & (factor <= F32(1.1)) & (shift_region >= 100)
+
+    new_count = (shift_region.astype(F32) / factor).astype(jnp.int32)
+    src_pos = i.astype(F32) * factor
+    idx = src_pos.astype(jnp.int32)
+    frac = src_pos - idx.astype(F32)
+
+    a = head[jnp.clip(idx, 0, H - 1)]
+    b = head[jnp.clip(idx + 1, 0, H - 1)]
+    lerp = a * (F32(1.0) - frac) + b * frac
+    have2 = idx + 1 < shift_region
+    have1 = (~have2) & (idx < shift_region)
+    resampled = jnp.where(have2, trunc16(lerp), jnp.where(have1, a, F32(0.0)))
+
+    # copy back up to min(new_count, count); zero-pad the remainder
+    copy_count = jnp.minimum(new_count, shift_region)
+    shifted = jnp.where(i < copy_count, resampled, F32(0.0))
+    shifted = jnp.where(do_shift, shifted, head)
+
+    # blend: region*(1-t) + original*t over shift_region (ctts.c:2016-2019)
+    t = i.astype(F32) / shift_region.astype(F32)
+    blended = trunc16(shifted * (F32(1.0) - t) + head * t)
+    return jnp.where(i < shift_region, blended, head)
+
+
+def masked_rms(x: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
+    """calculate_rms over the first n samples (ctts.c:1697-1706); f32
+    accumulation on device (C uses double — near-exact for our scale)."""
+    i = jnp.arange(x.shape[0])
+    m = (i < n).astype(F32)
+    ss = jnp.sum(x * x * m)
+    return jnp.sqrt(ss / jnp.maximum(n, 1).astype(F32))
+
+
+def silence_compact(
+    buf: jnp.ndarray,
+    length: jnp.ndarray,
+    threshold: float,
+    min_silence: int,
+):
+    """remove_silence_regions (ctts.c:1634-1690) with masked compaction.
+
+    `buf` is [W] integer-valued f32; only [0, length) is live. Returns
+    (new_buf, new_length). Long sub-threshold runs keep their first
+    max(min_silence/4, 10) samples.
+    """
+    W = buf.shape[0]
+    i = jnp.arange(W)
+    live = i < length
+
+    absv = jnp.abs(buf)
+    max_amp = jnp.max(jnp.where(live, absv, F32(0.0)))
+    abs_threshold = jnp.trunc(max_amp * F32(threshold))
+
+    silent = (absv <= abs_threshold) & live
+
+    prev_silent = jnp.concatenate([jnp.array([False]), silent[:-1]])
+    start_flag = silent & (~prev_silent)
+
+    # Run start index at each silent position (cummax of flagged starts).
+    start_pos = jnp.where(start_flag, i, -1)
+    run_start = lax.associative_scan(jnp.maximum, start_pos)
+
+    # Run id and per-run length via segment sums.
+    run_id = jnp.cumsum(start_flag.astype(jnp.int32)) - 1  # valid where silent
+    run_id_safe = jnp.where(silent, run_id, W - 1)
+    run_lens = jnp.zeros(W, dtype=jnp.int32).at[run_id_safe].add(
+        jnp.where(silent, 1, 0)
+    )
+    my_run_len = run_lens[jnp.clip(run_id_safe, 0, W - 1)]
+
+    keep_n = max(min_silence // 4, 10)
+    long_run = my_run_len >= min_silence
+    keep_silent = jnp.where(
+        long_run, (i - run_start) < keep_n, jnp.ones_like(silent)
+    )
+    keep = jnp.where(silent, keep_silent, live)
+
+    new_len = jnp.sum(keep.astype(jnp.int32))
+    pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    scatter_idx = jnp.where(keep, pos, W)
+    out = jnp.zeros(W + 1, dtype=buf.dtype).at[scatter_idx].set(buf)[:W]
+
+    # If the live region is all zeros (max_amp == 0) C returns unchanged.
+    unchanged = (max_amp == F32(0.0)) | (length == 0)
+    out = jnp.where(unchanged, buf, out)
+    new_len = jnp.where(unchanged, length, new_len)
+    return out, new_len
+
+
+def contour_segment(
+    buf: jnp.ndarray,
+    seg_off: jnp.ndarray,
+    seg_len: jnp.ndarray,
+    f_start: jnp.ndarray,
+    f_end: jnp.ndarray,
+    max_frames: int,
+):
+    """apply_smooth_pitch_contour (ctts.c:2206-2273) on buf[seg_off,
+    seg_off+seg_len), masked/jittable. No-op when seg_len < 100 or
+    |f_start - f_end| < 0.01, like the C."""
+    W = buf.shape[0]
+    FR = 256
+    HOP = 128
+    hann256 = hann(FR)
+
+    active = (seg_len >= 100) & (jnp.abs(f_start - f_end) >= F32(0.01))
+
+    count = seg_len
+    # inv_count = 1/(count - 256); count == 256 → inf (C divides by zero).
+    denom = (count - FR).astype(F32)
+    inv_count = jnp.where(denom != 0, F32(1.0) / denom, F32(jnp.inf))
+
+    k = jnp.arange(max_frames)
+    pos = k * HOP                                    # [K] frame starts
+    frame_ok = (pos + FR <= count) & active
+
+    t = pos.astype(F32) * inv_count
+    smooth_t = t * t * (F32(3.0) - F32(2.0) * t)
+    pf = f_start + (f_end - f_start) * smooth_t      # [K]
+
+    i = jnp.arange(FR)
+    src_idx = i[None, :].astype(F32) * pf[:, None]   # [K, FR]
+    idx = src_idx.astype(jnp.int32)
+    frac = src_idx - idx.astype(F32)
+    in_range = idx + 1 < FR
+
+    # Reads may run past the frame (reference OOB quirk, ctts.c:2251):
+    # within the segment we read the true later samples; past the segment
+    # end we substitute 0 (matching the oracle).
+    gpos = seg_off + pos[:, None] + idx
+    a = jnp.where(
+        gpos < seg_off + count,
+        buf[jnp.clip(gpos, 0, W - 1)],
+        F32(0.0),
+    )
+    b_pos = jnp.clip(gpos + 1, 0, W - 1)
+    b = buf[b_pos]
+    sample = jnp.where(in_range, a * (F32(1.0) - frac) + b * frac, a)
+
+    contrib = trunc16(sample * hann256[None, :])     # [K, FR]
+    contrib = jnp.where(frame_ok[:, None], contrib, F32(0.0))
+    normc = jnp.where(frame_ok[:, None], hann256[None, :], F32(0.0))
+
+    # Scatter-add overlapping frames into accumulation buffers.
+    out_idx = (seg_off + pos[:, None] + i[None, :]).reshape(-1)
+    out_idx = jnp.clip(out_idx, 0, W - 1)
+    acc = jnp.zeros(W, F32).at[out_idx].add(contrib.reshape(-1))
+    norm = jnp.zeros(W, F32).at[out_idx].add(normc.reshape(-1))
+
+    acc = wrap16(acc)  # int16 accumulator wraps in C
+
+    good = norm > F32(0.01)
+    val = q16(acc / jnp.where(good, norm, F32(1.0)))
+    ii = jnp.arange(W)
+    in_seg = (ii >= seg_off) & (ii < seg_off + count) & active
+    return jnp.where(in_seg & good, val, buf)
+
+
+def tail_fade(buf: jnp.ndarray, end: jnp.ndarray, fade_len: jnp.ndarray) -> jnp.ndarray:
+    """apply_fade_out on buf[..end) (ctts.c:3028-3039), clamping the fade
+    to the available content like the C (fade_samples > count → count)."""
+    W = buf.shape[0]
+    i = jnp.arange(W)
+    fade = jnp.minimum(fade_len, end)
+    start = end - fade
+    # t = (fade - (i - start)) * (1.0f / fade), like the C (ctts.c:3033-3035)
+    rel = (i - start).astype(F32)
+    t = (fade.astype(F32) - rel) * (F32(1.0) / jnp.maximum(fade, 1).astype(F32))
+    gain = sine_fade_gain(t)
+    faded = trunc16(buf * gain)
+    in_fade = (i >= start) & (i < end) & (fade > 0)
+    return jnp.where(in_fade, faded, buf)
+
+
+def head_fade_in(x: jnp.ndarray, fade_len: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
+    """apply_fade_in over x[:min(fade_len, n)] (ctts.c:3015-3025)."""
+    i = jnp.arange(x.shape[0])
+    fade = jnp.minimum(fade_len, n)
+    t = i.astype(F32) * (F32(1.0) / jnp.maximum(fade, 1).astype(F32))
+    gain = sine_fade_gain(t)
+    faded = trunc16(x * gain)
+    return jnp.where((i < fade) & (fade > 0), faded, x)
+
+
+def remove_dc(x: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
+    """remove_dc_offset over x[:n] (ctts.c:1568-1583); exact int math."""
+    i = jnp.arange(x.shape[0])
+    live = i < n
+    total = jnp.sum(jnp.where(live, x, F32(0.0)).astype(jnp.int32))
+    nn = jnp.maximum(n, 1)
+    dc = jnp.sign(total) * (jnp.abs(total) // nn)  # trunc toward zero
+    out = jnp.clip(x - dc.astype(F32), F32(-32768.0), F32(32767.0))
+    return jnp.where(live, out, x)

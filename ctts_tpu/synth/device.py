@@ -1,0 +1,627 @@
+"""JAX device executor: lowers a SynthesisPlan to dense arrays and runs
+the whole waveform pipeline as one jitted XLA program.
+
+Execution model (SURVEY.md §7, TPU-first):
+
+- The voice bank lives on device as a padded [N_units, UBUF] f32 tensor
+  with per-unit lengths and host-precomputed exact RMS gains.
+- A sentence is a sequence of *regions* (the spans between the reference's
+  word_start marks). Region composition — RMS gain, boundary pitch
+  smoothing, energy matching, DC removal, fades, raised-cosine crossfade
+  overlap — runs as a `lax.scan` over unit slots (the boundary DSP is
+  sequential by construction: each unit is smoothed against the already-
+  composed tail). Batch parallelism comes from vmap over sentences.
+- Region DSP (silence compaction, phrase-intonation contour OLA, energy
+  ramp, tail fades) is vmapped over regions.
+- Sentence assembly overlap-adds regions at cumsum offsets (lengths are
+  dynamic after silence removal); WSOLA runs as a frame scan when
+  speed ≠ 1.
+
+Region buffers carry a left margin of WIN + CFMAX samples so crossfades
+that reach back into the preceding pause (possible when a unit is shorter
+than the next crossfade) and pitch-analysis windows never index out of
+bounds; the margin content overlap-adds into the previous pause at
+assembly, exactly like the C's flat buffer.
+
+Known approximations vs the oracle (each bounded by tests):
+- XLA reduction order differs from the C's sequential f32 loops; discrete
+  decisions (pitch lag argmax, WSOLA offsets) can flip on float near-ties.
+- Pitch/energy analysis windows that extend past the current region's
+  content see zeros (the preceding pause) instead of the previous
+  region's tail; with default configs the window fits inside the region.
+- analysis/boundary lengths use the pre-silence-removal running length
+  (the true length is dynamic); the cap only binds in the first ~0.3 s.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ctts_tpu.constants import SAMPLE_RATE
+from ctts_tpu.db.reader import VoiceDatabase
+from ctts_tpu.ops import device_ops as dops
+from ctts_tpu.ops.luts import fade_in_gain, fade_out_gain
+from ctts_tpu.ops.quant import q16, trunc16
+from ctts_tpu.ops.wsola_jax import time_stretch_device
+from ctts_tpu.plan.compiler import OpKind, SynthesisPlan
+from ctts_tpu.text.prosody import PhraseType
+
+F32 = jnp.float32
+
+
+@dataclasses.dataclass(frozen=True)
+class PlanDims:
+    """Static bucket dimensions; one XLA specialization per value."""
+
+    U: int        # unit slots
+    R: int        # region slots
+    FD: int       # in-region fade slots
+    WREG: int     # region buffer width (margin + content + right pad)
+    MARGIN: int   # left margin (= WIN + CFMAX)
+    UBUF: int     # unit bank width
+    WIN: int      # pitch-analysis window width
+    CFMAX: int    # max crossfade samples
+    SMAX: int     # sentence buffer width
+    OMAX: int     # WSOLA output width
+    fade_in_samples: int
+    min_silence_samples: int
+    remove_dc: bool
+    stretch: bool  # speed != 1.0: compile the WSOLA branch, OMAX > SMAX
+
+
+def _roundup(x: int, m: int = 128) -> int:
+    return -(-x // m) * m
+
+
+def _next_pow2(x: int, lo: int) -> int:
+    n = lo
+    while n < x:
+        n *= 2
+    return n
+
+
+def bucket_dims(d: PlanDims, floor: Optional[dict] = None) -> PlanDims:
+    """Round dimensions up to coarse buckets so XLA specializations are
+    shared across sentences (compile once per bucket, not per sentence).
+    `floor` raises minimums (e.g. {"U": 32, "SMAX": 131072}) so a whole
+    corpus lands in one bucket."""
+    floor = floor or {}
+    smax = _next_pow2(max(d.SMAX, floor.get("SMAX", 0)), 16384)
+    return dataclasses.replace(
+        d,
+        U=_next_pow2(max(d.U, floor.get("U", 0)), 8),
+        R=_next_pow2(max(d.R, floor.get("R", 0)), 4),
+        FD=_next_pow2(max(d.FD, floor.get("FD", 0)), 4),
+        WREG=_next_pow2(max(d.WREG, floor.get("WREG", 0)), 16384),
+        SMAX=smax,
+        OMAX=(2 * smax + 4096) if d.stretch else smax,
+    )
+
+
+ARRAY_NAMES = [
+    "unit_id", "unit_region", "unit_off", "unit_boundary", "unit_cf_in",
+    "unit_fade_in", "unit_smooth", "unit_analysis", "unit_boundary_len",
+    "unit_shift_region", "unit_prev_ok",
+    "region_len", "region_do_dsp", "region_remove", "region_pause",
+    "region_fade_after", "region_contour", "region_qfinal", "region_energy",
+    "region_active",
+    "fade_region", "fade_pos", "fade_len",
+    "threshold", "speed",
+]
+
+
+@dataclasses.dataclass
+class DevicePlan:
+    dims: PlanDims
+    arrays: dict
+    speed: float
+
+
+def intonation_scalars(inton, word_index: int, total_words: int,
+                       max_pitch_change: float):
+    """Host scalar half of apply_phrase_intonation (ctts.c:2736-2840):
+    returns (ws, we, peak, es, ee, qfinal, energy_active)."""
+    f = np.float32
+
+    def clamp(p):
+        lo, hi = f(1.0) - f(max_pitch_change), f(1.0) + f(max_pitch_change)
+        return f(min(max(f(p), lo), hi))
+
+    denom = total_words - 1 if total_words > 1 else 1
+    phrase_pos = f(word_index) / f(denom)
+    is_final = word_index == total_words - 1
+    is_penult = (word_index == total_words - 2) and total_words > 1
+
+    peak_pos = f(inton.peak_position)
+    p_start = f(inton.pitch_start)
+    p_end = f(inton.pitch_end)
+    p_peak = f(inton.pitch_peak)
+
+    if phrase_pos <= peak_pos:
+        t = phrase_pos / peak_pos
+        t = t * t * (f(3.0) - f(2.0) * t)
+        pf = p_start + (p_peak - p_start) * t
+    else:
+        t = (phrase_pos - peak_pos) / (f(1.0) - peak_pos)
+        t = t * t * (f(3.0) - f(2.0) * t)
+        pf = p_peak + (p_end - p_peak) * t
+    pf = clamp(pf)
+
+    ws = clamp(pf * f(0.98))
+    we = clamp(pf * f(1.02))
+    qfinal = False
+
+    if inton.type == PhraseType.INTERROGATIVE and (is_final or is_penult):
+        if is_final:
+            ws = clamp(pf * f(0.95))
+            we = clamp(p_end)
+            qfinal = True
+        else:
+            ws = clamp(pf * f(0.98))
+            we = clamp(pf * f(1.05))
+    elif inton.type == PhraseType.EXCLAMATORY:
+        if word_index == 0:
+            ws = clamp(p_peak)
+            we = clamp(pf)
+        elif is_final:
+            ws = clamp(pf)
+            we = clamp(p_end)
+        else:
+            ws = clamp(pf * f(1.02))
+            we = clamp(pf * f(0.98))
+    elif inton.type == PhraseType.CONTINUATION and is_final:
+        ws = clamp(pf * f(0.96))
+        we = clamp(p_end)
+    else:
+        ws = clamp(pf * f(0.98))
+        we = clamp(pf * f(1.02))
+        if is_final:
+            we = clamp(p_end)
+
+    peak = clamp(p_peak)
+
+    ef = f(inton.energy_factor)
+    energy_active = abs(ef - f(1.0)) > f(0.01)
+    es, ee = ef, ef
+    if inton.type == PhraseType.EXCLAMATORY and word_index == 0:
+        es, ee = ef * f(1.1), ef * f(0.95)
+
+    return (float(ws), float(we), float(peak), float(es), float(ee),
+            qfinal, bool(energy_active))
+
+
+def build_device_plan(plan: SynthesisPlan, db: VoiceDatabase,
+                      dims: Optional[PlanDims] = None) -> DevicePlan:
+    """Lower a compiled plan to padded arrays. With `dims=None`, minimal
+    per-sentence dimensions are derived; pass bucketed dims for batching."""
+    cfg = plan.config
+    unit_ids = {op.unit_idx for op in plan.ops if op.kind == OpKind.UNIT}
+    unit_lens = {i: int(db.index[i]["sample_count"]) for i in unit_ids}
+
+    cf_max = max([op.crossfade_samples for op in plan.ops
+                  if op.kind == OpKind.UNIT] + [1])
+    win = _roundup(max(2 * cf_max, 1024))
+    cfmax = _roundup(cf_max)
+    margin = win + cfmax
+
+    # --- walk ops into regions -------------------------------------------
+    units, regions, fades = [], [], []
+    cur = {"len": 0, "do_dsp": False, "word_index": 0, "pause_after": 0,
+           "fade_after": 0}
+    cursor = 0
+    buf_total = 0   # static running sentence length (pre-removal proxy)
+    post_dsp = False
+
+    def close_region():
+        nonlocal cur, cursor, post_dsp
+        cur["len"] = cursor
+        regions.append(cur)
+        cur = {"len": 0, "do_dsp": False, "word_index": 0, "pause_after": 0,
+               "fade_after": 0}
+        cursor = 0
+        post_dsp = False
+
+    for op in plan.ops:
+        r = len(regions)
+        if op.kind == OpKind.UNIT:
+            n = unit_lens[op.unit_idx]
+            if op.after_word_boundary or buf_total == 0:
+                cf_in, fade_in = 0, True
+            elif op.crossfade_samples == 0:
+                cf_in, fade_in = 0, False
+            else:
+                cf_in = min(op.crossfade_samples, buf_total, n)
+                fade_in = False
+            off = cursor - cf_in
+            boundary = op.crossfade_samples
+            units.append({
+                "id": op.unit_idx, "region": r, "off": off,
+                "boundary": boundary, "cf_in": cf_in, "fade_in": fade_in,
+                "smooth": op.smooth_boundary and buf_total > 0,
+                "analysis": min(2 * boundary, buf_total // 2, n // 2),
+                "boundary_len": min(boundary, buf_total, n),
+                "shift_region": min(boundary, n // 4),
+                "prev_ok": buf_total >= 200,
+            })
+            cursor = off + n
+            buf_total += n - cf_in
+        elif op.kind == OpKind.SILENCE:
+            if post_dsp:
+                cur["pause_after"] += op.n_samples
+            else:
+                cursor += op.n_samples
+            buf_total += op.n_samples
+        elif op.kind == OpKind.FADE_TAIL:
+            if post_dsp:
+                cur["fade_after"] = op.fade_samples
+            else:
+                fades.append((r, cursor, op.fade_samples))
+        elif op.kind == OpKind.WORD_DSP:
+            cur["do_dsp"] = True
+            cur["word_index"] = op.word_index
+            post_dsp = True
+        elif op.kind == OpKind.MARK_WORD:
+            close_region()
+    close_region()
+
+    max_region_len = max([r["len"] for r in regions] + [1])
+    bank_w = _roundup(int(db.index["sample_count"].max()))
+
+    stretch = bool(np.float32(plan.speed) != np.float32(1.0))
+    if dims is None:
+        total_len = sum(r["len"] + r["pause_after"] for r in regions)
+        smax = _roundup(max(total_len, 1024))
+        dims = PlanDims(
+            U=max(len(units), 1),
+            R=max(len(regions), 1),
+            FD=max(len(fades), 1),
+            WREG=_roundup(margin + max_region_len + bank_w + cfmax),
+            MARGIN=margin,
+            UBUF=bank_w,
+            WIN=win,
+            CFMAX=cfmax,
+            SMAX=smax,
+            OMAX=_roundup(2 * smax + 2048) if stretch else smax,
+            fade_in_samples=plan.fade_in_samples,
+            min_silence_samples=plan.min_silence_samples,
+            remove_dc=bool(cfg.remove_dc_offset),
+            stretch=stretch,
+        )
+    assert dims.stretch == stretch, "speed class must match the bucket"
+    assert len(units) <= dims.U and len(regions) <= dims.R
+    assert len(fades) <= dims.FD
+    assert dims.MARGIN >= 2 * cf_max, "crossfade exceeds margin"
+    assert dims.UBUF >= bank_w
+
+    a = {}
+    a["unit_id"] = np.full(dims.U, -1, np.int32)
+    for name, dt in [("unit_region", np.int32), ("unit_off", np.int32),
+                     ("unit_boundary", np.int32), ("unit_cf_in", np.int32),
+                     ("unit_fade_in", np.bool_), ("unit_smooth", np.bool_),
+                     ("unit_analysis", np.int32),
+                     ("unit_boundary_len", np.int32),
+                     ("unit_shift_region", np.int32),
+                     ("unit_prev_ok", np.bool_)]:
+        a[name] = np.zeros(dims.U, dt)
+
+    for k, u in enumerate(units):
+        a["unit_id"][k] = u["id"]
+        a["unit_region"][k] = u["region"]
+        a["unit_off"][k] = u["off"] + dims.MARGIN
+        a["unit_boundary"][k] = u["boundary"]
+        a["unit_cf_in"][k] = u["cf_in"]
+        a["unit_fade_in"][k] = u["fade_in"]
+        a["unit_smooth"][k] = u["smooth"]
+        a["unit_analysis"][k] = u["analysis"]
+        a["unit_boundary_len"][k] = u["boundary_len"]
+        a["unit_shift_region"][k] = u["shift_region"]
+        a["unit_prev_ok"][k] = u["prev_ok"]
+
+    a["region_len"] = np.zeros(dims.R, np.int32)
+    a["region_do_dsp"] = np.zeros(dims.R, np.bool_)
+    a["region_remove"] = np.zeros(dims.R, np.bool_)
+    a["region_pause"] = np.zeros(dims.R, np.int32)
+    a["region_fade_after"] = np.zeros(dims.R, np.int32)
+    a["region_contour"] = np.tile(
+        np.array([1, 1, 1, 1, 1], np.float32), (dims.R, 1)
+    )
+    a["region_qfinal"] = np.zeros(dims.R, np.bool_)
+    a["region_energy"] = np.zeros(dims.R, np.bool_)
+    a["region_active"] = np.zeros(dims.R, np.bool_)
+
+    wc = plan.prosody.word_count
+    for r, reg in enumerate(regions):
+        a["region_len"][r] = reg["len"]
+        a["region_active"][r] = True
+        a["region_do_dsp"][r] = reg["do_dsp"]
+        a["region_remove"][r] = (
+            reg["do_dsp"] and cfg.remove_word_silence
+            and reg["len"] > plan.min_silence_samples
+        )
+        a["region_pause"][r] = reg["pause_after"]
+        a["region_fade_after"][r] = reg["fade_after"]
+        if reg["do_dsp"] and wc > 0:
+            ws, we, peak, es, ee, qfinal, eactive = intonation_scalars(
+                plan.prosody.intonation, reg["word_index"], wc,
+                cfg.max_pitch_change,
+            )
+            a["region_contour"][r] = [ws, we, peak, es, ee]
+            a["region_qfinal"][r] = qfinal
+            a["region_energy"][r] = eactive
+
+    a["fade_region"] = np.zeros(dims.FD, np.int32)
+    a["fade_pos"] = np.full(dims.FD, -1, np.int32)
+    a["fade_len"] = np.zeros(dims.FD, np.int32)
+    for k, (r, pos, flen) in enumerate(fades):
+        a["fade_region"][k] = r
+        a["fade_pos"][k] = pos
+        a["fade_len"][k] = flen
+
+    a["threshold"] = np.float32(cfg.silence_threshold)
+    a["speed"] = np.float32(plan.speed)
+
+    return DevicePlan(dims=dims, arrays=a, speed=plan.speed)
+
+
+class DeviceVoice:
+    """Device-resident voice bank: padded units, lengths, exact RMS gains.
+
+    The normalize_rms gain (ctts.c:1709-1727) depends only on the unit
+    audio and the fixed target, so it is precomputed exactly (f64
+    accumulation, like the C's double) on host, once per database.
+    """
+
+    def __init__(self, db: VoiceDatabase, target_rms: float = 3000.0):
+        units, lengths = db.to_device_arrays()
+        n = units.shape[0]
+        gains = np.ones(n, np.float32)
+        for i in range(n):
+            s = db.unit_samples(i).astype(np.float64)
+            if s.shape[0] == 0:
+                continue
+            rms = np.float32(np.sqrt(np.sum(s * s) / s.shape[0]))
+            if rms < np.float32(1.0):
+                continue
+            g = np.float32(target_rms) / rms
+            gains[i] = min(max(g, np.float32(0.1)), np.float32(3.0))
+        self.bank = jnp.asarray(units.astype(np.float32))
+        self.lengths = jnp.asarray(lengths.astype(np.int32))
+        self.gains = jnp.asarray(gains)
+        self.ubuf = units.shape[1]
+
+
+
+
+@functools.lru_cache(maxsize=64)
+def build_core(dims: PlanDims, ubuf: int):
+    """Build the (unjitted) synthesis core for one dims specialization.
+    Signature: core(bank, bank_lens, gains, arrays) -> (out, out_len)."""
+
+    MARGIN, WIN, CFMAX = dims.MARGIN, dims.WIN, dims.CFMAX
+    content_w = dims.WREG - MARGIN
+    max_frames = max((content_w - 256) // 128 + 2, 1)
+
+    def unit_step_fn(bank, bank_lens, gains, ar):
+        def unit_step(bufs, k):
+            uid = ar["unit_id"][k]
+            active = uid >= 0
+            uid_c = jnp.maximum(uid, 0)
+            r = ar["unit_region"][k]
+            off = ar["unit_off"][k]
+            n = bank_lens[uid_c]
+            x = q16(bank[uid_c] * gains[uid_c])   # [UBUF]; pads stay 0
+            iu = jnp.arange(ubuf)
+
+            # --- boundary pitch smoothing (smooth_pitch_boundary,
+            #     ctts.c:1979-2024) ------------------------------------
+            # The C analyzes the buffer tail at buf.count, which is the
+            # unit's start PLUS the crossfade overlap (off + cf_in).
+            cf_in = ar["unit_cf_in"][k]
+            win = lax.dynamic_slice(bufs[r], (off + cf_in - WIN,), (WIN,))
+            analysis = ar["unit_analysis"][k]
+            do_boundary = ar["unit_smooth"][k] & (ar["unit_boundary"][k] > 0)
+            do_smooth = do_boundary & ar["unit_prev_ok"][k] & (n >= 200)
+
+            prev_pitch = dops.estimate_pitch_win(win, analysis)
+            next_pitch = dops.estimate_pitch_head(x, analysis)
+            voiced = (prev_pitch > 0) & (next_pitch > 0)
+            ratio = next_pitch / jnp.where(prev_pitch > 0, prev_pitch, F32(1.0))
+            jump = (ratio > F32(1.15)) | (ratio < F32(0.85))
+            target = jnp.where(
+                ratio > F32(1.0),
+                F32(1.0) + (ratio - F32(1.0)) * F32(0.5),
+                F32(1.0) - (F32(1.0) - ratio) * F32(0.5),
+            )
+            shift_factor = target / jnp.where(ratio != 0, ratio, F32(1.0))
+            shift_region = ar["unit_shift_region"][k]
+            shifted = dops.pitch_shift_blend(x[:CFMAX], shift_region,
+                                             shift_factor)
+            use_shift = do_smooth & voiced & jump & (shift_region > 0)
+            x = jnp.where((iu < shift_region) & use_shift,
+                          jnp.pad(shifted, (0, ubuf - CFMAX)), x)
+
+            # --- match_boundary_energy (ctts.c:1730-1759) --------------
+            blen = ar["unit_boundary_len"][k]
+            prev_tail = win[WIN - CFMAX:]
+            it = jnp.arange(CFMAX)
+            tail_live = it >= (CFMAX - blen)
+            prev_rms = jnp.sqrt(
+                jnp.sum(jnp.where(tail_live, prev_tail * prev_tail, 0.0))
+                / jnp.maximum(blen, 1).astype(F32)
+            )
+            next_rms = jnp.sqrt(
+                jnp.sum(jnp.where(iu < blen, x * x, 0.0))
+                / jnp.maximum(blen, 1).astype(F32)
+            )
+            eratio = jnp.clip(
+                prev_rms / jnp.where(next_rms > 0, next_rms, F32(1.0)),
+                F32(0.5), F32(2.0),
+            )
+            tgain = iu.astype(F32) / jnp.maximum(blen, 1).astype(F32)
+            egain = eratio * (F32(1.0) - tgain) + tgain
+            do_energy = do_boundary & (blen > 0) & \
+                (prev_rms >= F32(1.0)) & (next_rms >= F32(1.0))
+            x = jnp.where((iu < blen) & do_energy, q16(x * egain), x)
+
+            # --- DC removal + fade-in / crossfade ----------------------
+            if dims.remove_dc:
+                x = dops.remove_dc(x, n)
+            fade_in = ar["unit_fade_in"][k]
+            x = jnp.where(fade_in,
+                          dops.head_fade_in(x, dims.fade_in_samples, n), x)
+
+            tail = lax.dynamic_slice(bufs[r], (off,), (CFMAX,))
+            # C computes t = i * (1.0f / crossfade) (ctts.c:3326-3329).
+            tmix = it.astype(F32) * (F32(1.0) / jnp.maximum(cf_in, 1).astype(F32))
+            mixed = q16(trunc16(tail * fade_out_gain(tmix)
+                                + x[:CFMAX] * fade_in_gain(tmix)))
+            x = jnp.where((iu < cf_in) & (~fade_in),
+                          jnp.pad(mixed, (0, ubuf - CFMAX)), x)
+
+            # --- write ------------------------------------------------
+            curw = lax.dynamic_slice(bufs[r], (off,), (ubuf,))
+            neww = jnp.where((iu < n) & active, x, curw)
+            bufs = lax.dynamic_update_slice(bufs, neww[None, :], (r, off))
+            return bufs, None
+
+        return unit_step
+
+    def core(bank, bank_lens, gains, ar):
+        bufs0 = jnp.zeros((dims.R, dims.WREG), F32)
+        bufs, _ = lax.scan(unit_step_fn(bank, bank_lens, gains, ar),
+                           bufs0, jnp.arange(dims.U))
+
+        # --- in-region (punct) tail fades ------------------------------
+        def fade_step(bufs, k):
+            r = ar["fade_region"][k]
+            pos = ar["fade_pos"][k]
+            row = bufs[r]
+            faded = dops.tail_fade(row, MARGIN + jnp.maximum(pos, 0),
+                                   ar["fade_len"][k])
+            row = jnp.where(pos >= 0, faded, row)
+            return bufs.at[r].set(row), None
+
+        bufs, _ = lax.scan(fade_step, bufs, jnp.arange(dims.FD))
+
+        # --- per-region word DSP (vmapped) -----------------------------
+        threshold = ar["threshold"]
+
+        def region_dsp(row, length, do_dsp, do_remove, contour, qfinal,
+                       energy_on, fade_after):
+            margin_part = row[:MARGIN]
+            content = row[MARGIN:]
+
+            comp, comp_len = dops.silence_compact(
+                content, length, threshold, dims.min_silence_samples
+            )
+            content = jnp.where(do_remove, comp, content)
+            count = jnp.where(do_remove, comp_len, length)
+
+            ws, we, peak, es, ee = (contour[0], contour[1], contour[2],
+                                    contour[3], contour[4])
+            rise = (count.astype(F32) * F32(0.6)).astype(jnp.int32)
+            use_split = qfinal & (rise > 100) & (count - rise > 100)
+
+            seg1_len = jnp.where(use_split, rise, count)
+            seg1_end = jnp.where(use_split, peak, we)
+            dsp_len1 = jnp.where(do_dsp, seg1_len, 0)
+            c1 = dops.contour_segment(content, jnp.int32(0), dsp_len1,
+                                      ws, seg1_end, max_frames)
+            seg2_len = jnp.where(do_dsp & use_split, count - rise, 0)
+            content = dops.contour_segment(c1, rise, seg2_len, peak, we,
+                                           max_frames)
+
+            # Energy ramp (ctts.c:2841-2865); gated by the whole-function
+            # count >= 100 check (ctts.c:2740).
+            ic = jnp.arange(content_w)
+            te = ic.astype(F32) / jnp.maximum(count - 1, 1).astype(F32)
+            ramped = q16(content * (es + (ee - es) * te))
+            apply_e = do_dsp & energy_on & (count >= 100)
+            content = jnp.where((ic < count) & apply_e, ramped, content)
+
+            content = jnp.where(
+                fade_after > 0,
+                dops.tail_fade(content, count, fade_after),
+                content,
+            )
+            return jnp.concatenate([margin_part, content]), count
+
+        bufs, new_lens = jax.vmap(region_dsp)(
+            bufs, ar["region_len"], ar["region_do_dsp"], ar["region_remove"],
+            ar["region_contour"], ar["region_qfinal"], ar["region_energy"],
+            ar["region_fade_after"],
+        )
+        new_lens = jnp.where(ar["region_active"], new_lens, 0)
+        pauses = jnp.where(ar["region_active"], ar["region_pause"], 0)
+
+        # --- sentence assembly (overlap-add at cumsum offsets) ----------
+        seg_lens = new_lens + pauses
+        offsets = jnp.concatenate(
+            [jnp.zeros(1, jnp.int32), jnp.cumsum(seg_lens)[:-1]]
+        )
+        total_len = jnp.sum(seg_lens)
+
+        sent = jnp.zeros(MARGIN + dims.SMAX + dims.WREG, F32)
+
+        def place(sent, r):
+            row = bufs[r]
+            iw = jnp.arange(dims.WREG)
+            row = jnp.where(iw < MARGIN + new_lens[r], row, F32(0.0))
+            row = jnp.where(ar["region_active"][r], row, F32(0.0))
+            start = offsets[r]  # buffer index of margin start
+            seg = lax.dynamic_slice(sent, (start,), (dims.WREG,))
+            return lax.dynamic_update_slice(sent, seg + row, (start,)), None
+
+        sent, _ = lax.scan(place, sent, jnp.arange(dims.R))
+        sent = sent[MARGIN: MARGIN + dims.SMAX]
+        ii = jnp.arange(dims.SMAX)
+        sent = q16(jnp.where(ii < total_len, sent, F32(0.0)))
+
+        # --- WSOLA (compiled only for speed≠1 buckets) -------------------
+        if dims.stretch:
+            speed = ar["speed"]
+            out, out_len = lax.cond(
+                speed != F32(1.0),
+                lambda s: time_stretch_device(s, total_len, speed, dims.OMAX),
+                lambda s: (
+                    jnp.concatenate(
+                        [s, jnp.zeros(dims.OMAX - dims.SMAX, F32)]
+                    ),
+                    total_len,
+                ),
+                sent,
+            )
+        else:
+            out, out_len = sent, total_len
+        # int16 on device: halves the host transfer.
+        return out.astype(jnp.int16), out_len
+
+    return core
+
+
+@functools.lru_cache(maxsize=64)
+def _compiled_core(dims: PlanDims, ubuf: int):
+    return jax.jit(build_core(dims, ubuf))
+
+
+def execute_plan_jax(plan: SynthesisPlan, db: VoiceDatabase,
+                     voice: Optional[DeviceVoice] = None,
+                     bucket: bool = True) -> np.ndarray:
+    """Single-sentence convenience entry: lower, run, trim, int16."""
+    if voice is None:
+        voice = DeviceVoice(db, plan.target_rms)
+    dplan = build_device_plan(plan, db)
+    if bucket:
+        dplan = build_device_plan(plan, db, bucket_dims(dplan.dims))
+    core = _compiled_core(dplan.dims, voice.ubuf)
+    arrays = {k: jnp.asarray(v) for k, v in dplan.arrays.items()}
+    out, out_len = core(voice.bank, voice.lengths, voice.gains, arrays)
+    out_len = int(out_len)
+    return np.asarray(out[:out_len]).astype(np.int16)

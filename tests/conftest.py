@@ -10,12 +10,22 @@ import shutil
 import subprocess
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# A sitecustomize hook may have initialized jax on the TPU backend before
+# this conftest ran; force re-initialization on the 8-device CPU platform.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+from jax._src import xla_bridge  # noqa: E402
+
+xla_bridge._clear_backends()
+assert jax.device_count() == 8, "expected 8 virtual CPU devices for tests"
 
 import pytest
 

@@ -4,8 +4,10 @@
     ctts synth <database.db> "text" <output.wav> [speed]
 
 Extensions (flags after the positional args, all optional):
-    --executor=oracle|jax   waveform executor (default: oracle = exact C
-                            semantics on host; jax = TPU/XLA path)
+    --executor=native|oracle|jax
+                            waveform executor (default: native = C++ host
+                            engine, exact C semantics, falls back to the
+                            NumPy oracle; jax = TPU/XLA batch path)
     --config=PATH           config file (default: ./config.yaml, like the C)
     --rules=PATH            normalization CSV (default: ./normalization.csv)
     --rule-flavor=glibc|full  regex flavor (default: glibc = this platform's
@@ -119,11 +121,20 @@ def main(argv: list[str] | None = None) -> int:
         )
         plan = compile_plan(db, text, config, rules, speed)
 
-        executor = flags.get("--executor", "oracle")
+        executor = flags.get("--executor", "native")
         if executor == "jax":
             from ctts_tpu.synth.device import execute_plan_jax
 
             samples = np.asarray(execute_plan_jax(plan, db))
+        elif executor == "native":
+            try:
+                from ctts_tpu.runtime.native import NativeEngine
+
+                samples = NativeEngine(db_path).execute(plan)
+            except Exception:
+                from ctts_tpu.synth.oracle import execute_plan_oracle
+
+                samples = execute_plan_oracle(plan, db)
         else:
             from ctts_tpu.synth.oracle import execute_plan_oracle
 

@@ -156,17 +156,15 @@ def silence_compact(
     prev_silent = jnp.concatenate([jnp.array([False]), silent[:-1]])
     start_flag = silent & (~prev_silent)
 
-    # Run start index at each silent position (cummax of flagged starts).
+    # Run start at each position: cummax of flagged start indices.
     start_pos = jnp.where(start_flag, i, -1)
     run_start = lax.associative_scan(jnp.maximum, start_pos)
 
-    # Run id and per-run length via segment sums.
-    run_id = jnp.cumsum(start_flag.astype(jnp.int32)) - 1  # valid where silent
-    run_id_safe = jnp.where(silent, run_id, W - 1)
-    run_lens = jnp.zeros(W, dtype=jnp.int32).at[run_id_safe].add(
-        jnp.where(silent, 1, 0)
-    )
-    my_run_len = run_lens[jnp.clip(run_id_safe, 0, W - 1)]
+    # Run end at each position: next non-silent index (reverse cummin) —
+    # scatter-free run-length computation.
+    nonsilent_idx = jnp.where(~silent, i, W)
+    run_end = lax.associative_scan(jnp.minimum, nonsilent_idx[::-1])[::-1]
+    my_run_len = run_end - run_start
 
     keep_n = max(min_silence // 4, 10)
     long_run = my_run_len >= min_silence
@@ -176,15 +174,100 @@ def silence_compact(
     keep = jnp.where(silent, keep_silent, live)
 
     new_len = jnp.sum(keep.astype(jnp.int32))
-    pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
-    scatter_idx = jnp.where(keep, pos, W)
-    out = jnp.zeros(W + 1, dtype=buf.dtype).at[scatter_idx].set(buf)[:W]
+    # Compaction as a gather: out[j] = buf[first i with cumsum(keep)[i]==j+1]
+    cum = jnp.cumsum(keep.astype(jnp.int32))
+    select = jnp.searchsorted(cum, jnp.arange(1, W + 1))
+    out = jnp.where(i < new_len, buf[jnp.clip(select, 0, W - 1)], F32(0.0))
 
     # If the live region is all zeros (max_amp == 0) C returns unchanged.
     unchanged = (max_amp == F32(0.0)) | (length == 0)
     out = jnp.where(unchanged, buf, out)
     new_len = jnp.where(unchanged, length, new_len)
     return out, new_len
+
+
+def _contour0(content: jnp.ndarray, count: jnp.ndarray,
+              f_start: jnp.ndarray, f_end: jnp.ndarray,
+              max_frames: int) -> jnp.ndarray:
+    """apply_smooth_pitch_contour (ctts.c:2206-2273) on content[:count],
+    segment anchored at offset 0. Scatter-free: frames are built with
+    strided reshapes, resampling is a minor-dim take_along_axis, and the
+    50%-overlap OLA is two interleaved non-overlapping tilings."""
+    W = content.shape[0]
+    FR = 256
+    HOP = 128
+    K = max_frames
+    hann256 = hann(FR)
+
+    active = (count >= 100) & (jnp.abs(f_start - f_end) >= F32(0.01))
+
+    denom = (count - FR).astype(F32)
+    # count == 256 → division by zero (C quirk): inf.
+    inv_count = jnp.where(denom != 0, F32(1.0) / denom, F32(jnp.inf))
+
+    k = jnp.arange(K)
+    pos = k * HOP
+    frame_ok = (pos + FR <= count) & active
+
+    t = pos.astype(F32) * inv_count
+    smooth_t = t * t * (F32(3.0) - F32(2.0) * t)
+    pf = f_start + (f_end - f_start) * smooth_t      # [K]
+
+    # 512-wide windows at stride 128 via four shifted reshapes (the
+    # resample can read up to ~281 past the frame start — reference OOB
+    # quirk, ctts.c:2251).
+    need = K * HOP + 4 * HOP
+    cpad = jnp.concatenate([content, jnp.zeros(max(need - W, 1), F32)])
+    tiles = [cpad[j * HOP:(K + j) * HOP].reshape(K, HOP) for j in range(4)]
+    win = jnp.concatenate(tiles, axis=1)             # [K, 512]
+
+    i = jnp.arange(FR)
+    src_idx = i[None, :].astype(F32) * pf[:, None]   # [K, FR]
+    idx = src_idx.astype(jnp.int32)
+    frac = src_idx - idx.astype(F32)
+    in_range = idx + 1 < FR
+
+    a = jnp.take_along_axis(win, jnp.clip(idx, 0, 511), axis=1)
+    # Reads past the segment end substitute 0 (matching the oracle's
+    # handling of the reference's heap overread).
+    a = jnp.where(pos[:, None] + idx < count, a, F32(0.0))
+    b = jnp.take_along_axis(win, jnp.clip(idx + 1, 0, 511), axis=1)
+    sample = jnp.where(in_range, a * (F32(1.0) - frac) + b * frac, a)
+
+    contrib = trunc16(sample * hann256[None, :])
+    contrib = jnp.where(frame_ok[:, None], contrib, F32(0.0))
+    normc = jnp.where(frame_ok[:, None], hann256[None, :], F32(0.0))
+
+    # Even frames tile [0, Ke*256); odd frames tile [128, 128 + Ko*256).
+    L = K * HOP + FR + HOP
+    even = contrib[0::2].reshape(-1)
+    odd = contrib[1::2].reshape(-1)
+    acc = (
+        jnp.concatenate([even, jnp.zeros(L - even.shape[0], F32)])
+        + jnp.concatenate(
+            [jnp.zeros(HOP, F32), odd, jnp.zeros(L - HOP - odd.shape[0], F32)]
+        )
+    )[:W]
+    n_even = normc[0::2].reshape(-1)
+    n_odd = normc[1::2].reshape(-1)
+    norm = (
+        jnp.concatenate([n_even, jnp.zeros(L - n_even.shape[0], F32)])
+        + jnp.concatenate(
+            [jnp.zeros(HOP, F32), n_odd,
+             jnp.zeros(L - HOP - n_odd.shape[0], F32)]
+        )
+    )[:W]
+    if acc.shape[0] < W:
+        acc = jnp.concatenate([acc, jnp.zeros(W - acc.shape[0], F32)])
+        norm = jnp.concatenate([norm, jnp.zeros(W - norm.shape[0], F32)])
+
+    acc = wrap16(acc)  # int16 accumulator wraps in C
+
+    good = norm > F32(0.01)
+    val = q16(acc / jnp.where(good, norm, F32(1.0)))
+    ii = jnp.arange(W)
+    in_seg = (ii < count) & active
+    return jnp.where(in_seg & good, val, content)
 
 
 def contour_segment(
@@ -195,65 +278,19 @@ def contour_segment(
     f_end: jnp.ndarray,
     max_frames: int,
 ):
-    """apply_smooth_pitch_contour (ctts.c:2206-2273) on buf[seg_off,
-    seg_off+seg_len), masked/jittable. No-op when seg_len < 100 or
-    |f_start - f_end| < 0.01, like the C."""
+    """Contour on buf[seg_off, seg_off+seg_len). For the common seg_off=0
+    case call _contour0 directly; this wrapper handles a traced offset
+    (the interrogative rise/fall split) by shifting the buffer, applying,
+    and shifting back."""
+    if isinstance(seg_off, int):
+        assert seg_off == 0
+        return _contour0(buf, seg_len, f_start, f_end, max_frames)
     W = buf.shape[0]
-    FR = 256
-    HOP = 128
-    hann256 = hann(FR)
-
-    active = (seg_len >= 100) & (jnp.abs(f_start - f_end) >= F32(0.01))
-
-    count = seg_len
-    # inv_count = 1/(count - 256); count == 256 → inf (C divides by zero).
-    denom = (count - FR).astype(F32)
-    inv_count = jnp.where(denom != 0, F32(1.0) / denom, F32(jnp.inf))
-
-    k = jnp.arange(max_frames)
-    pos = k * HOP                                    # [K] frame starts
-    frame_ok = (pos + FR <= count) & active
-
-    t = pos.astype(F32) * inv_count
-    smooth_t = t * t * (F32(3.0) - F32(2.0) * t)
-    pf = f_start + (f_end - f_start) * smooth_t      # [K]
-
-    i = jnp.arange(FR)
-    src_idx = i[None, :].astype(F32) * pf[:, None]   # [K, FR]
-    idx = src_idx.astype(jnp.int32)
-    frac = src_idx - idx.astype(F32)
-    in_range = idx + 1 < FR
-
-    # Reads may run past the frame (reference OOB quirk, ctts.c:2251):
-    # within the segment we read the true later samples; past the segment
-    # end we substitute 0 (matching the oracle).
-    gpos = seg_off + pos[:, None] + idx
-    a = jnp.where(
-        gpos < seg_off + count,
-        buf[jnp.clip(gpos, 0, W - 1)],
-        F32(0.0),
-    )
-    b_pos = jnp.clip(gpos + 1, 0, W - 1)
-    b = buf[b_pos]
-    sample = jnp.where(in_range, a * (F32(1.0) - frac) + b * frac, a)
-
-    contrib = trunc16(sample * hann256[None, :])     # [K, FR]
-    contrib = jnp.where(frame_ok[:, None], contrib, F32(0.0))
-    normc = jnp.where(frame_ok[:, None], hann256[None, :], F32(0.0))
-
-    # Scatter-add overlapping frames into accumulation buffers.
-    out_idx = (seg_off + pos[:, None] + i[None, :]).reshape(-1)
-    out_idx = jnp.clip(out_idx, 0, W - 1)
-    acc = jnp.zeros(W, F32).at[out_idx].add(contrib.reshape(-1))
-    norm = jnp.zeros(W, F32).at[out_idx].add(normc.reshape(-1))
-
-    acc = wrap16(acc)  # int16 accumulator wraps in C
-
-    good = norm > F32(0.01)
-    val = q16(acc / jnp.where(good, norm, F32(1.0)))
-    ii = jnp.arange(W)
-    in_seg = (ii >= seg_off) & (ii < seg_off + count) & active
-    return jnp.where(in_seg & good, val, buf)
+    padded = jnp.concatenate([buf, jnp.zeros(W, F32)])
+    shifted = lax.dynamic_slice(padded, (seg_off,), (W,))
+    res = _contour0(shifted, seg_len, f_start, f_end, max_frames)
+    merged = lax.dynamic_update_slice(padded, res, (seg_off,))
+    return merged[:W]
 
 
 def tail_fade(buf: jnp.ndarray, end: jnp.ndarray, fade_len: jnp.ndarray) -> jnp.ndarray:

@@ -73,13 +73,25 @@ def _search(inp_pad, input_count, prev_frame, nominal):
     return jnp.where(improved, best_off + rel[bf], best_off)
 
 
+def synthesis_hop_for_speed(speed: float) -> int:
+    """(size_t)(analysis_hop / clamped_speed), min 1 (ctts.c:3511-3512).
+    Static per plan: the hop specializes the compiled program so the OLA
+    write offsets are compile-time constants (vmap-friendly)."""
+    import numpy as np
+
+    s = min(max(np.float32(speed), np.float32(0.5)), np.float32(2.0))
+    return max(int(np.float32(AHOP) / s), 1)
+
+
 def time_stretch_device(
     inp: jnp.ndarray,
     input_count: jnp.ndarray,
     speed: jnp.ndarray,
     out_size: int,
+    hop: int,
 ):
-    """Stretch inp[:input_count] by `speed`; returns (out, out_len).
+    """Stretch inp[:input_count] by `speed` (with static synthesis hop
+    `hop` = synthesis_hop_for_speed(speed)); returns (out, out_len).
 
     `out_size` must be ≥ 2 * len(inp) + 2048 (worst case speed 0.5).
     When |speed-1| < 0.01 the input is passed through (ctts.c:3497-3503).
@@ -90,7 +102,7 @@ def time_stretch_device(
     speed = jnp.clip(speed, F32(0.5), F32(2.0))
     passthrough = jnp.abs(speed - F32(1.0)) < F32(0.01)
 
-    synthesis_hop = jnp.maximum((F32(AHOP) / speed).astype(jnp.int32), 1)
+    synthesis_hop = hop
 
     num_frames = jnp.where(
         input_count > FRAME, (input_count - FRAME) // AHOP + 1, 1
@@ -98,6 +110,8 @@ def time_stretch_device(
     alloc = num_frames * synthesis_hop + FRAME + 1024  # dynamic logical cap
 
     max_steps = (S - FRAME) // AHOP + 2 if S > FRAME else 2
+    # Static cap from the output capacity as well.
+    max_steps = min(max_steps, (out_size - FRAME) // hop + 1)
 
     # Left-pad once so the search window never clamps (see _search).
     inp_pad = jnp.concatenate(

@@ -73,7 +73,8 @@ class PlanDims:
     fade_in_samples: int
     min_silence_samples: int
     remove_dc: bool
-    stretch: bool  # speed != 1.0: compile the WSOLA branch, OMAX > SMAX
+    stretch: bool    # speed != 1.0: compile the WSOLA branch, OMAX > SMAX
+    synth_hop: int   # static WSOLA synthesis hop (0 when not stretching)
 
 
 def _roundup(x: int, m: int = 128) -> int:
@@ -274,7 +275,10 @@ def build_device_plan(plan: SynthesisPlan, db: VoiceDatabase,
     max_region_len = max([r["len"] for r in regions] + [1])
     bank_w = _roundup(int(db.index["sample_count"].max()))
 
+    from ctts_tpu.ops.wsola_jax import synthesis_hop_for_speed
+
     stretch = bool(np.float32(plan.speed) != np.float32(1.0))
+    synth_hop = synthesis_hop_for_speed(plan.speed) if stretch else 0
     if dims is None:
         total_len = sum(r["len"] + r["pause_after"] for r in regions)
         smax = _roundup(max(total_len, 1024))
@@ -293,8 +297,10 @@ def build_device_plan(plan: SynthesisPlan, db: VoiceDatabase,
             min_silence_samples=plan.min_silence_samples,
             remove_dc=bool(cfg.remove_dc_offset),
             stretch=stretch,
+            synth_hop=synth_hop,
         )
     assert dims.stretch == stretch, "speed class must match the bucket"
+    assert dims.synth_hop == synth_hop, "synthesis hop must match the bucket"
     assert len(units) <= dims.U and len(regions) <= dims.R
     assert len(fades) <= dims.FD
     assert dims.MARGIN >= 2 * cf_max, "crossfade exceeds margin"
@@ -532,7 +538,7 @@ def build_core(dims: PlanDims, ubuf: int):
             seg1_len = jnp.where(use_split, rise, count)
             seg1_end = jnp.where(use_split, peak, we)
             dsp_len1 = jnp.where(do_dsp, seg1_len, 0)
-            c1 = dops.contour_segment(content, jnp.int32(0), dsp_len1,
+            c1 = dops.contour_segment(content, 0, dsp_len1,
                                       ws, seg1_end, max_frames)
             seg2_len = jnp.where(do_dsp & use_split, count - rise, 0)
             content = dops.contour_segment(c1, rise, seg2_len, peak, we,
@@ -587,16 +593,8 @@ def build_core(dims: PlanDims, ubuf: int):
         # --- WSOLA (compiled only for speed≠1 buckets) -------------------
         if dims.stretch:
             speed = ar["speed"]
-            out, out_len = lax.cond(
-                speed != F32(1.0),
-                lambda s: time_stretch_device(s, total_len, speed, dims.OMAX),
-                lambda s: (
-                    jnp.concatenate(
-                        [s, jnp.zeros(dims.OMAX - dims.SMAX, F32)]
-                    ),
-                    total_len,
-                ),
-                sent,
+            out, out_len = time_stretch_device(
+                sent, total_len, speed, dims.OMAX, dims.synth_hop
             )
         else:
             out, out_len = sent, total_len

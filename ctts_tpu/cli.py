@@ -115,30 +115,40 @@ def main(argv: list[str] | None = None) -> int:
         # Loaded (and reported) but never applied — reference parity.
         DurationRules.load("duration_rules.csv")
 
-        rules = NormalizationRules.load(
-            flags.get("--rules", "normalization.csv"),
-            flavor=flags.get("--rule-flavor", "glibc"),
-        )
-        plan = compile_plan(db, text, config, rules, speed)
+        # The reference's print_timing flag is a stub; here it reports
+        # real per-stage wall clock (SURVEY.md §5.1).
+        from ctts_tpu.utils.timing import StageTimer
+
+        timer = StageTimer(enabled=config.print_timing)
+
+        with timer.stage("load rules"):
+            rules = NormalizationRules.load(
+                flags.get("--rules", "normalization.csv"),
+                flavor=flags.get("--rule-flavor", "glibc"),
+            )
+        with timer.stage("compile plan"):
+            plan = compile_plan(db, text, config, rules, speed)
 
         executor = flags.get("--executor", "native")
-        if executor == "jax":
-            from ctts_tpu.synth.device import execute_plan_jax
+        with timer.stage(f"execute ({executor})"):
+            if executor == "jax":
+                from ctts_tpu.synth.device import execute_plan_jax
 
-            samples = np.asarray(execute_plan_jax(plan, db))
-        elif executor == "native":
-            try:
-                from ctts_tpu.runtime.native import NativeEngine
+                samples = np.asarray(execute_plan_jax(plan, db))
+            elif executor == "native":
+                try:
+                    from ctts_tpu.runtime.native import NativeEngine
 
-                samples = NativeEngine(db_path).execute(plan)
-            except Exception:
+                    samples = NativeEngine(db_path).execute(plan)
+                except Exception:
+                    from ctts_tpu.synth.oracle import execute_plan_oracle
+
+                    samples = execute_plan_oracle(plan, db)
+            else:
                 from ctts_tpu.synth.oracle import execute_plan_oracle
 
                 samples = execute_plan_oracle(plan, db)
-        else:
-            from ctts_tpu.synth.oracle import execute_plan_oracle
-
-            samples = execute_plan_oracle(plan, db)
+        timer.report()
 
         print(
             f"Synthesized {samples.shape[0]} samples "

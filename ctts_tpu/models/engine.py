@@ -87,5 +87,20 @@ class CTTSEngine:
             )
         return self._batcher.synthesize(texts, speed)
 
+    # -- config setters (API parity: ctts_set_*, ctts.c:1313-1330) --------
+
+    def set_crossfade(self, crossfade_ms: float) -> None:
+        self.config.crossfade_ms = crossfade_ms
+
+    def set_word_pause(self, pause_ms: float) -> None:
+        self.config.word_pause_ms = pause_ms
+
+    def set_unknown_silence(self, silence_ms: float) -> None:
+        self.config.unknown_silence_ms = silence_ms
+
+    def set_fades(self, fade_in_ms: float, fade_out_ms: float) -> None:
+        self.config.fade_in_ms = fade_in_ms
+        self.config.fade_out_ms = fade_out_ms
+
     def close(self) -> None:
         self.db.close()

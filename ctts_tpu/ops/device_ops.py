@@ -131,6 +131,102 @@ def masked_rms(x: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
     return jnp.sqrt(ss / jnp.maximum(n, 1).astype(F32))
 
 
+# Max kept segments per region for silence compaction. Segments appear at
+# long sub-threshold runs (unit tails, embedded pauses): one per removed
+# gap. Excess segments are kept uncompacted (graceful divergence) — raise
+# if pathological audio needs it.
+NBLK = 32
+
+
+def silence_segments(
+    buf: jnp.ndarray,
+    length: jnp.ndarray,
+    threshold,
+    min_silence: int,
+):
+    """Mask half of remove_silence_regions (ctts.c:1634-1690): computes the
+    kept-segment table without moving data. Returns (starts [NBLK],
+    seg_len [NBLK], new_len) — all zeros/unchanged when the region is
+    all-zero or empty (the C's early-outs). Data movement is done by the
+    Pallas compaction kernel (ops.pallas.compact)."""
+    W = buf.shape[0]
+    i = jnp.arange(W)
+    live = i < length
+
+    absv = jnp.abs(buf)
+    max_amp = jnp.max(jnp.where(live, absv, F32(0.0)))
+    abs_threshold = jnp.trunc(max_amp * F32(threshold))
+
+    silent = (absv <= abs_threshold) & live
+    prev_silent = jnp.concatenate([jnp.array([False]), silent[:-1]])
+    start_flag = silent & (~prev_silent)
+    start_pos = jnp.where(start_flag, i, -1)
+    run_start = lax.associative_scan(jnp.maximum, start_pos)
+    nonsilent_idx = jnp.where(~silent, i, W)
+    run_end = lax.associative_scan(jnp.minimum, nonsilent_idx[::-1])[::-1]
+    my_run_len = run_end - run_start
+
+    keep_n = max(min_silence // 4, 10)
+    long_run = my_run_len >= min_silence
+    keep_silent = jnp.where(
+        long_run, (i - run_start) < keep_n, jnp.ones_like(silent)
+    )
+    keep = jnp.where(silent, keep_silent, live)
+
+    seg_start_flag = keep & jnp.concatenate([jnp.array([True]), ~keep[:-1]])
+    next_keep = jnp.concatenate([keep[1:], jnp.array([False])])
+    seg_end_flag = keep & (~next_keep)
+
+    big = jnp.int32(W)
+    starts = -lax.top_k(-jnp.where(seg_start_flag, i, big), NBLK)[0]
+    ends = -lax.top_k(-jnp.where(seg_end_flag, i, big), NBLK)[0]
+    valid_seg = starts < W
+    seg_len = jnp.where(valid_seg, ends - starts + 1, 0)
+    # Overflow: >NBLK segments → last slot becomes a catch-all that keeps
+    # the remainder uncompacted (no audio loss; mild parity divergence).
+    n_segs = jnp.sum(seg_start_flag.astype(jnp.int32))
+    overflow = n_segs > NBLK
+    last_len = jnp.maximum(length - starts[NBLK - 1], 0)
+    seg_len = seg_len.at[NBLK - 1].set(
+        jnp.where(overflow & valid_seg[NBLK - 1], last_len,
+                  seg_len[NBLK - 1])
+    )
+    new_len = jnp.sum(seg_len)
+
+    # All-zero or empty region: C returns unchanged — identity (no moves).
+    unchanged = (max_amp == F32(0.0)) | (length == 0)
+    starts = jnp.where(unchanged, 0, starts)
+    seg_len = jnp.where(unchanged, 0, seg_len)
+    new_len = jnp.where(unchanged, length, new_len)
+    return starts, seg_len, new_len
+
+
+def move_segments(buf: jnp.ndarray, starts: jnp.ndarray, dst: jnp.ndarray,
+                  seg_len: jnp.ndarray) -> jnp.ndarray:
+    """Move contiguous segments buf[starts[s]:+len] → out[dst[s]:+len].
+
+    XLA implementation: a short scan of dynamic-slice window moves
+    (slice-granular dynamic ops lower to DMA-like copies on TPU, unlike
+    elementwise gather/scatter/sort which run at a few M elements/s).
+    Destinations must be non-overlapping ascending; untouched positions
+    keep their original content (needed for the region margin).
+    """
+    W = buf.shape[0]
+    nblk = starts.shape[0]
+    i = jnp.arange(W)
+    bufpad = jnp.concatenate([buf, jnp.zeros(W, F32)])
+
+    def mv(out, s):
+        src = lax.dynamic_slice(bufpad, (starts[s],), (W,))
+        cur = lax.dynamic_slice(out, (dst[s],), (W,))
+        merged = jnp.where(i < seg_len[s], src, cur)
+        return lax.dynamic_update_slice(out, merged, (dst[s],)), None
+
+    out0 = jnp.concatenate([buf, jnp.zeros(W, F32)])
+    out, _ = lax.scan(mv, out0, jnp.arange(nblk))
+    return out[:W]
+
+
 def silence_compact(
     buf: jnp.ndarray,
     length: jnp.ndarray,
@@ -173,11 +269,38 @@ def silence_compact(
     )
     keep = jnp.where(silent, keep_silent, live)
 
-    new_len = jnp.sum(keep.astype(jnp.int32))
-    # Compaction as a gather: out[j] = buf[first i with cumsum(keep)[i]==j+1]
-    cum = jnp.cumsum(keep.astype(jnp.int32))
-    select = jnp.searchsorted(cum, jnp.arange(1, W + 1))
-    out = jnp.where(i < new_len, buf[jnp.clip(select, 0, W - 1)], F32(0.0))
+    # Compaction: kept samples form ≤ NBLK contiguous segments (one per
+    # removed-silence gap). Elementwise gathers are pathologically slow on
+    # TPU, so move whole segments with dynamic slices in a short scan.
+    NBLK = 64
+    seg_start_flag = keep & jnp.concatenate([jnp.array([True]), ~keep[:-1]])
+    next_keep = jnp.concatenate([keep[1:], jnp.array([False])])
+    seg_end_flag = keep & (~next_keep)
+
+    big = jnp.int32(W)
+    start_pos = jnp.where(seg_start_flag, i, big)
+    end_pos = jnp.where(seg_end_flag, i, big)
+    # NBLK smallest flagged positions, ascending.
+    starts = -lax.top_k(-start_pos, NBLK)[0]
+    ends = -lax.top_k(-end_pos, NBLK)[0]
+    valid_seg = starts < W
+    seg_len = jnp.where(valid_seg, ends - starts + 1, 0)
+    dst = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(seg_len)[:-1]]
+    )
+    new_len = jnp.sum(seg_len)
+
+    bufpad = jnp.concatenate([buf, jnp.zeros(W, F32)])
+
+    def move(out, s):
+        src = lax.dynamic_slice(bufpad, (starts[s],), (W,))
+        cur = lax.dynamic_slice(out, (dst[s],), (W,))
+        merged = jnp.where(i < seg_len[s], src, cur)
+        return lax.dynamic_update_slice(out, merged, (dst[s],)), None
+
+    out0 = jnp.zeros(2 * W, F32)
+    out, _ = lax.scan(move, out0, jnp.arange(NBLK))
+    out = out[:W]
 
     # If the live region is all zeros (max_amp == 0) C returns unchanged.
     unchanged = (max_amp == F32(0.0)) | (length == 0)
@@ -188,11 +311,16 @@ def silence_compact(
 
 def _contour0(content: jnp.ndarray, count: jnp.ndarray,
               f_start: jnp.ndarray, f_end: jnp.ndarray,
-              max_frames: int) -> jnp.ndarray:
+              max_frames: int, max_drift: int = 32) -> jnp.ndarray:
     """apply_smooth_pitch_contour (ctts.c:2206-2273) on content[:count],
-    segment anchored at offset 0. Scatter-free: frames are built with
-    strided reshapes, resampling is a minor-dim take_along_axis, and the
-    50%-overlap OLA is two interleaved non-overlapping tilings."""
+    segment anchored at offset 0. Gather/scatter-free: frames are built
+    with strided reshapes, the resample (whose index trunc(i*pf) drifts at
+    most ±max_drift from i, since |pf-1| ≤ max_pitch_change) is a sum of
+    shifted selects, and the 50%-overlap OLA is two interleaved
+    non-overlapping tilings.
+
+    `max_drift` must be ≥ ceil(FR * max|pf-1|) + 1; the default covers
+    max_pitch_change ≤ 0.12 (reference default 0.10)."""
     W = content.shape[0]
     FR = 256
     HOP = 128
@@ -227,11 +355,23 @@ def _contour0(content: jnp.ndarray, count: jnp.ndarray,
     frac = src_idx - idx.astype(F32)
     in_range = idx + 1 < FR
 
-    a = jnp.take_along_axis(win, jnp.clip(idx, 0, 511), axis=1)
+    # Resample via shifted selects: a[k,i] = win[k, idx[k,i]] where
+    # idx[k,i] - i ∈ [-max_drift, +max_drift]. TPU gathers run at a few
+    # tens of M elements/s; 2·max_drift shifted wheres are ~100× faster.
+    D = max_drift
+    wpad = jnp.concatenate([jnp.zeros((K, D), F32), win], axis=1)  # [K,512+D]
+    drift = idx - i[None, :]
+    a = jnp.zeros((K, FR), F32)
+    b = jnp.zeros((K, FR), F32)
+    for delta in range(-D, D + 1):
+        w_d = lax.slice(wpad, (0, D + delta), (K, D + delta + FR))
+        w_d1 = lax.slice(wpad, (0, D + delta + 1), (K, D + delta + 1 + FR))
+        hit = drift == delta
+        a = jnp.where(hit, w_d, a)
+        b = jnp.where(hit, w_d1, b)
     # Reads past the segment end substitute 0 (matching the oracle's
     # handling of the reference's heap overread).
     a = jnp.where(pos[:, None] + idx < count, a, F32(0.0))
-    b = jnp.take_along_axis(win, jnp.clip(idx + 1, 0, 511), axis=1)
     sample = jnp.where(in_range, a * (F32(1.0) - frac) + b * frac, a)
 
     contrib = trunc16(sample * hann256[None, :])
@@ -277,6 +417,7 @@ def contour_segment(
     f_start: jnp.ndarray,
     f_end: jnp.ndarray,
     max_frames: int,
+    max_drift: int = 32,
 ):
     """Contour on buf[seg_off, seg_off+seg_len). For the common seg_off=0
     case call _contour0 directly; this wrapper handles a traced offset
@@ -284,11 +425,11 @@ def contour_segment(
     and shifting back."""
     if isinstance(seg_off, int):
         assert seg_off == 0
-        return _contour0(buf, seg_len, f_start, f_end, max_frames)
+        return _contour0(buf, seg_len, f_start, f_end, max_frames, max_drift)
     W = buf.shape[0]
     padded = jnp.concatenate([buf, jnp.zeros(W, F32)])
     shifted = lax.dynamic_slice(padded, (seg_off,), (W,))
-    res = _contour0(shifted, seg_len, f_start, f_end, max_frames)
+    res = _contour0(shifted, seg_len, f_start, f_end, max_frames, max_drift)
     merged = lax.dynamic_update_slice(padded, res, (seg_off,))
     return merged[:W]
 

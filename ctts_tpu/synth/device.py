@@ -75,6 +75,7 @@ class PlanDims:
     remove_dc: bool
     stretch: bool    # speed != 1.0: compile the WSOLA branch, OMAX > SMAX
     synth_hop: int   # static WSOLA synthesis hop (0 when not stretching)
+    contour_drift: int  # ceil(256 * max_pitch_change) + 2 (resample bound)
 
 
 def _roundup(x: int, m: int = 128) -> int:
@@ -298,6 +299,9 @@ def build_device_plan(plan: SynthesisPlan, db: VoiceDatabase,
             remove_dc=bool(cfg.remove_dc_offset),
             stretch=stretch,
             synth_hop=synth_hop,
+            contour_drift=min(
+                int(np.ceil(256 * abs(cfg.max_pitch_change))) + 2, 256
+            ),
         )
     assert dims.stretch == stretch, "speed class must match the bucket"
     assert dims.synth_hop == synth_hop, "synthesis hop must match the bucket"
@@ -516,19 +520,37 @@ def build_core(dims: PlanDims, ubuf: int):
 
         bufs, _ = lax.scan(fade_step, bufs, jnp.arange(dims.FD))
 
-        # --- per-region word DSP (vmapped) -----------------------------
+        # --- per-region word DSP -----------------------------------------
+        # 2a: silence-removal segment tables (vmapped mask math, XLA).
         threshold = ar["threshold"]
 
-        def region_dsp(row, length, do_dsp, do_remove, contour, qfinal,
+        def seg_table(row, length, do_remove):
+            starts, seg_len, new_len = dops.silence_segments(
+                row[MARGIN:], length, threshold, dims.min_silence_samples
+            )
+            starts = jnp.where(do_remove, starts, 0)
+            seg_len = jnp.where(do_remove, seg_len, 0)
+            new_len = jnp.where(do_remove, new_len, length)
+            dst = MARGIN + jnp.concatenate(
+                [jnp.zeros(1, jnp.int32), jnp.cumsum(seg_len)[:-1]]
+            )
+            return starts + MARGIN, dst, seg_len, new_len
+
+        seg_starts, seg_dst, seg_lens, comp_lens = jax.vmap(seg_table)(
+            bufs, ar["region_len"], ar["region_remove"]
+        )
+
+        # 2b: data movement — segment window moves (see
+        # dops.move_segments; a Pallas DMA kernel is blocked on Mosaic's
+        # 1024-alignment requirement for dynamic HBM/VMEM offsets).
+        bufs = jax.vmap(dops.move_segments)(bufs, seg_starts, seg_dst,
+                                            seg_lens)
+
+        # 2c: contour + energy + fades (vmapped).
+        def region_dsp(row, count, do_dsp, contour, qfinal,
                        energy_on, fade_after):
             margin_part = row[:MARGIN]
             content = row[MARGIN:]
-
-            comp, comp_len = dops.silence_compact(
-                content, length, threshold, dims.min_silence_samples
-            )
-            content = jnp.where(do_remove, comp, content)
-            count = jnp.where(do_remove, comp_len, length)
 
             ws, we, peak, es, ee = (contour[0], contour[1], contour[2],
                                     contour[3], contour[4])
@@ -539,10 +561,11 @@ def build_core(dims: PlanDims, ubuf: int):
             seg1_end = jnp.where(use_split, peak, we)
             dsp_len1 = jnp.where(do_dsp, seg1_len, 0)
             c1 = dops.contour_segment(content, 0, dsp_len1,
-                                      ws, seg1_end, max_frames)
+                                      ws, seg1_end, max_frames,
+                                      dims.contour_drift)
             seg2_len = jnp.where(do_dsp & use_split, count - rise, 0)
             content = dops.contour_segment(c1, rise, seg2_len, peak, we,
-                                           max_frames)
+                                           max_frames, dims.contour_drift)
 
             # Energy ramp (ctts.c:2841-2865); gated by the whole-function
             # count >= 100 check (ctts.c:2740).
@@ -557,14 +580,14 @@ def build_core(dims: PlanDims, ubuf: int):
                 dops.tail_fade(content, count, fade_after),
                 content,
             )
-            return jnp.concatenate([margin_part, content]), count
+            return jnp.concatenate([margin_part, content])
 
-        bufs, new_lens = jax.vmap(region_dsp)(
-            bufs, ar["region_len"], ar["region_do_dsp"], ar["region_remove"],
+        bufs = jax.vmap(region_dsp)(
+            bufs, comp_lens, ar["region_do_dsp"],
             ar["region_contour"], ar["region_qfinal"], ar["region_energy"],
             ar["region_fade_after"],
         )
-        new_lens = jnp.where(ar["region_active"], new_lens, 0)
+        new_lens = jnp.where(ar["region_active"], comp_lens, 0)
         pauses = jnp.where(ar["region_active"], ar["region_pause"], 0)
 
         # --- sentence assembly (overlap-add at cumsum offsets) ----------

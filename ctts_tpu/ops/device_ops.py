@@ -46,9 +46,9 @@ def _pitch_from_segment(seg: jnp.ndarray, count: jnp.ndarray) -> jnp.ndarray:
     base_m = seg[:PITCH_ANALYSIS] * mask_i
 
     # corr_all[k] = Σ_i base_m[i] * seg[k + i], k = 0..PITCH_MAX_LAG
-    corr_all = jnp.correlate(seg, base_m, mode="valid")          # [276]
+    corr_all = jnp.correlate(seg, base_m, mode="valid", precision=jax.lax.Precision.HIGHEST)          # [276]
     # e2_all[k] = Σ_i mask[i] * seg[k + i]^2
-    e2_all = jnp.correlate(seg * seg, mask_i, mode="valid")      # [276]
+    e2_all = jnp.correlate(seg * seg, mask_i, mode="valid", precision=jax.lax.Precision.HIGHEST)      # [276]
     e1 = jnp.sum(base_m * base_m)
 
     lags = jnp.arange(PITCH_MIN_LAG, PITCH_MAX_LAG + 1)

@@ -41,8 +41,8 @@ def _search(inp_pad, input_count, prev_frame, nominal):
     target = prev_frame[FRAME - OVERLAP:]
 
     seg = lax.dynamic_slice(inp_pad, (nominal,), (_SEG,))
-    num = jnp.correlate(seg, target, mode="valid")                # [257]
-    sq1 = jnp.correlate(seg * seg, jnp.ones(OVERLAP, F32), mode="valid")
+    num = jnp.correlate(seg, target, mode="valid", precision=lax.Precision.HIGHEST)                # [257]
+    sq1 = jnp.correlate(seg * seg, jnp.ones(OVERLAP, F32), mode="valid", precision=lax.Precision.HIGHEST)
     sq2 = jnp.sum(target * target)
 
     denom = jnp.sqrt(sq1 * sq2)

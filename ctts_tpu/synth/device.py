@@ -440,7 +440,7 @@ def build_core(dims: PlanDims, ubuf: int):
             do_smooth = do_boundary & ar["unit_prev_ok"][k] & (n >= 200)
 
             prev_pitch = dops.estimate_pitch_win(win, analysis)
-            next_pitch = dops.estimate_pitch_head(x, analysis)
+            next_pitch = ar["_next_pitch"][k]
             voiced = (prev_pitch > 0) & (next_pitch > 0)
             ratio = next_pitch / jnp.where(prev_pitch > 0, prev_pitch, F32(1.0))
             jump = (ratio > F32(1.15)) | (ratio < F32(0.85))
@@ -504,6 +504,17 @@ def build_core(dims: PlanDims, ubuf: int):
         return unit_step
 
     def core(bank, bank_lens, gains, ar):
+        # Per-unit pitch of the unit head is independent of composition —
+        # hoist it out of the sequential scan (vectorized over slots).
+        def head_pitch(k):
+            uid_c = jnp.maximum(ar["unit_id"][k], 0)
+            x = q16(bank[uid_c] * gains[uid_c])
+            return dops.estimate_pitch_head(x, ar["unit_analysis"][k])
+
+        next_pitches = jax.vmap(head_pitch)(jnp.arange(dims.U))
+        ar = dict(ar)
+        ar["_next_pitch"] = next_pitches
+
         bufs0 = jnp.zeros((dims.R, dims.WREG), F32)
         bufs, _ = lax.scan(unit_step_fn(bank, bank_lens, gains, ar),
                            bufs0, jnp.arange(dims.U))

@@ -121,12 +121,20 @@ def main() -> None:
     floor = {"U": 32, "R": 16, "FD": 8, "WREG": 32768, "SMAX": 131072}
     bs = BatchSynthesizer(db, config, mesh=mesh, dims_floor=floor)
 
-    batch_mult = int(os.environ.get("CTTS_BENCH_BATCH_MULT", "16"))
-    texts = TEXTS * batch_mult  # e.g. 256 sentences
-
-    # Warmup with the full batch (single bucket + single batch size →
-    # exactly one XLA compilation).
-    _ = bs.synthesize(texts)
+    # Batch 64 fits the v5e's 16 GB HBM with the current buffer sizing
+    # (batch 128 OOMs at ~23 GB); halve on OOM for robustness.
+    batch_mult = int(os.environ.get("CTTS_BENCH_BATCH_MULT", "4"))
+    while batch_mult >= 1:
+        texts = TEXTS * batch_mult
+        try:
+            # Warmup with the full batch (single bucket + single batch
+            # size → exactly one XLA compilation).
+            _ = bs.synthesize(texts)
+            break
+        except Exception as e:
+            if "memory" not in str(e).lower() or batch_mult == 1:
+                raise
+            batch_mult //= 2
 
     # Steady-state measurement.
     iters = int(os.environ.get("CTTS_BENCH_ITERS", "3"))

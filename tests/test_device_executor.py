@@ -30,6 +30,9 @@ CASES = [
     ("oi xz oi", 1.0),            # unknown-char silence path
     ("a rosa azul", 1.5),         # WSOLA stretch
     ("a rosa azul", 0.5),
+    # Regression: near-tie WSOLA offsets on periodic audio flipped under
+    # default (bf16) conv precision; exact with Precision.HIGHEST.
+    ("a rosa azul", 1.2),
 ]
 
 

@@ -100,7 +100,7 @@ class VoiceDatabase:
 
     # -- device upload ----------------------------------------------------
 
-    def to_device_arrays(self, pad_multiple: int = 128):
+    def to_device_arrays(self, pad_multiple: int = 1024):
         """Padded unit tensor for the TPU executor.
 
         Returns (units_padded [N, U_max] int16, lengths [N] int32) where

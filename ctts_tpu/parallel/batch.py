@@ -56,12 +56,14 @@ class BatchSynthesizer:
         mesh=None,
         target_rms: float = 3000.0,
         dims_floor: Optional[dict] = None,
+        pallas_compose: bool = False,
     ):
         self.db = db
         self.config = config
         self.rules = rules
         self.mesh = mesh
         self.dims_floor = dims_floor
+        self.pallas_compose = pallas_compose
         self.voice = DeviceVoice(db, target_rms)
         if mesh is not None:
             bs = replicated(mesh)
@@ -88,8 +90,11 @@ class BatchSynthesizer:
         dplans = [build_device_plan(p, self.db) for p in plans]
         # Re-lower each into its bucket.
         buckets = defaultdict(list)
+        import dataclasses
+
         for i, (p, dp) in enumerate(zip(plans, dplans)):
             bd = bucket_dims(dp.dims, self.dims_floor)
+            bd = dataclasses.replace(bd, pallas_compose=self.pallas_compose)
             buckets[bd].append((i, p))
 
         results: list[Optional[np.ndarray]] = [None] * len(plans)

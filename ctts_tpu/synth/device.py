@@ -76,6 +76,7 @@ class PlanDims:
     stretch: bool    # speed != 1.0: compile the WSOLA branch, OMAX > SMAX
     synth_hop: int   # static WSOLA synthesis hop (0 when not stretching)
     contour_drift: int  # ceil(256 * max_pitch_change) + 2 (resample bound)
+    pallas_compose: bool = False  # roll-based Pallas compose kernel
 
 
 def _roundup(x: int, m: int = 128) -> int:
@@ -209,8 +210,10 @@ def build_device_plan(plan: SynthesisPlan, db: VoiceDatabase,
 
     cf_max = max([op.crossfade_samples for op in plan.ops
                   if op.kind == OpKind.UNIT] + [1])
-    win = _roundup(max(2 * cf_max, 1024))
-    cfmax = _roundup(cf_max)
+    # 1024-sample (8x128 tile) alignment: Pallas DMA shapes must be
+    # sublane-tile aligned.
+    win = _roundup(max(2 * cf_max, 1024), 1024)
+    cfmax = _roundup(cf_max, 1024)
     margin = win + cfmax
 
     # --- walk ops into regions -------------------------------------------
@@ -274,7 +277,7 @@ def build_device_plan(plan: SynthesisPlan, db: VoiceDatabase,
     close_region()
 
     max_region_len = max([r["len"] for r in regions] + [1])
-    bank_w = _roundup(int(db.index["sample_count"].max()))
+    bank_w = _roundup(int(db.index["sample_count"].max()), 1024)
 
     from ctts_tpu.ops.wsola_jax import synthesis_hop_for_speed
 
@@ -287,7 +290,7 @@ def build_device_plan(plan: SynthesisPlan, db: VoiceDatabase,
             U=max(len(units), 1),
             R=max(len(regions), 1),
             FD=max(len(fades), 1),
-            WREG=_roundup(margin + max_region_len + bank_w + cfmax),
+            WREG=_roundup(margin + max_region_len + bank_w + cfmax, 1024),
             MARGIN=margin,
             UBUF=bank_w,
             WIN=win,
@@ -373,6 +376,15 @@ def build_device_plan(plan: SynthesisPlan, db: VoiceDatabase,
         a["fade_region"][k] = r
         a["fade_pos"][k] = pos
         a["fade_len"][k] = flen
+
+    # Per-region unit-slot ranges (units are emitted region-major).
+    a["region_ustart"] = np.zeros(dims.R, np.int32)
+    a["region_ucount"] = np.zeros(dims.R, np.int32)
+    for k, u in enumerate(units):
+        r = u["region"]
+        if a["region_ucount"][r] == 0:
+            a["region_ustart"][r] = k
+        a["region_ucount"][r] += 1
 
     a["threshold"] = np.float32(cfg.silence_threshold)
     a["speed"] = np.float32(plan.speed)
@@ -503,6 +515,93 @@ def build_core(dims: PlanDims, ubuf: int):
 
         return unit_step
 
+    def prepare_contrib(bank, bank_lens, gains, ar, heads):
+        """Per-unit contribution [U, UBUF] + fade-out curves [U, CFMAX]:
+        everything the compose placement needs except the crossfade mix
+        itself. `heads` (pass B) substitutes boundary-modified heads."""
+
+        def one(k):
+            uid_c = jnp.maximum(ar["unit_id"][k], 0)
+            n = bank_lens[uid_c]
+            x = q16(bank[uid_c] * gains[uid_c])
+            if heads is not None:
+                x = jnp.concatenate([heads[k], x[CFMAX:]])
+            if dims.remove_dc:
+                x = dops.remove_dc(x, n)
+            fade_in = ar["unit_fade_in"][k]
+            x = jnp.where(
+                fade_in, dops.head_fade_in(x, dims.fade_in_samples, n), x
+            )
+            cf_in = ar["unit_cf_in"][k]
+            iu = jnp.arange(ubuf)
+            it = jnp.arange(CFMAX)
+            tmix = it.astype(F32) * (
+                F32(1.0) / jnp.maximum(cf_in, 1).astype(F32)
+            )
+            head_fi = x[:CFMAX] * fade_in_gain(tmix)
+            x = jnp.where((iu < cf_in) & (~fade_in),
+                          jnp.pad(head_fi, (0, ubuf - CFMAX)), x)
+            x = jnp.where((iu < n) & (ar["unit_id"][k] >= 0), x, F32(0.0))
+            return x, fade_out_gain(tmix)
+
+        return jax.vmap(one)(jnp.arange(dims.U))
+
+    def boundary_heads(bank, bank_lens, gains, ar, windows):
+        """Batched boundary DSP (smooth_pitch_boundary +
+        match_boundary_energy) from pass-A analysis windows."""
+
+        def one(k, win):
+            uid_c = jnp.maximum(ar["unit_id"][k], 0)
+            n = bank_lens[uid_c]
+            x = q16(bank[uid_c] * gains[uid_c])
+            head = x[:CFMAX]
+            it = jnp.arange(CFMAX)
+
+            analysis = ar["unit_analysis"][k]
+            do_boundary = ar["unit_smooth"][k] & (ar["unit_boundary"][k] > 0)
+            do_smooth = do_boundary & ar["unit_prev_ok"][k] & (n >= 200)
+
+            prev_pitch = dops.estimate_pitch_win(win, analysis)
+            next_pitch = ar["_next_pitch"][k]
+            voiced = (prev_pitch > 0) & (next_pitch > 0)
+            ratio = next_pitch / jnp.where(prev_pitch > 0, prev_pitch,
+                                           F32(1.0))
+            jump = (ratio > F32(1.15)) | (ratio < F32(0.85))
+            target = jnp.where(
+                ratio > F32(1.0),
+                F32(1.0) + (ratio - F32(1.0)) * F32(0.5),
+                F32(1.0) - (F32(1.0) - ratio) * F32(0.5),
+            )
+            shift_factor = target / jnp.where(ratio != 0, ratio, F32(1.0))
+            shift_region = ar["unit_shift_region"][k]
+            shifted = dops.pitch_shift_blend(head, shift_region, shift_factor)
+            use_shift = do_smooth & voiced & jump & (shift_region > 0)
+            head = jnp.where((it < shift_region) & use_shift, shifted, head)
+
+            blen = ar["unit_boundary_len"][k]
+            prev_tail = win[WIN - CFMAX:]
+            tail_live = it >= (CFMAX - blen)
+            prev_rms = jnp.sqrt(
+                jnp.sum(jnp.where(tail_live, prev_tail * prev_tail, 0.0))
+                / jnp.maximum(blen, 1).astype(F32)
+            )
+            next_rms = jnp.sqrt(
+                jnp.sum(jnp.where(it < blen, head * head, 0.0))
+                / jnp.maximum(blen, 1).astype(F32)
+            )
+            eratio = jnp.clip(
+                prev_rms / jnp.where(next_rms > 0, next_rms, F32(1.0)),
+                F32(0.5), F32(2.0),
+            )
+            tgain = it.astype(F32) / jnp.maximum(blen, 1).astype(F32)
+            egain = eratio * (F32(1.0) - tgain) + tgain
+            do_energy = do_boundary & (blen > 0) & \
+                (prev_rms >= F32(1.0)) & (next_rms >= F32(1.0))
+            head = jnp.where((it < blen) & do_energy, q16(head * egain), head)
+            return head
+
+        return jax.vmap(one)(jnp.arange(dims.U), windows)
+
     def core(bank, bank_lens, gains, ar):
         # Per-unit pitch of the unit head is independent of composition —
         # hoist it out of the sequential scan (vectorized over slots).
@@ -515,9 +614,35 @@ def build_core(dims: PlanDims, ubuf: int):
         ar = dict(ar)
         ar["_next_pitch"] = next_pitches
 
-        bufs0 = jnp.zeros((dims.R, dims.WREG), F32)
-        bufs, _ = lax.scan(unit_step_fn(bank, bank_lens, gains, ar),
-                           bufs0, jnp.arange(dims.U))
+        if dims.pallas_compose:
+            from ctts_tpu.ops.pallas.compose import make_compose_single
+
+            ar["_unit_n"] = jnp.where(
+                ar["unit_id"] >= 0,
+                bank_lens[jnp.maximum(ar["unit_id"], 0)], 0
+            ).astype(jnp.int32)
+            interp = jax.default_backend() != "tpu"
+            compose_a = make_compose_single(
+                dims.U, dims.WREG, ubuf, CFMAX, WIN, True, interp
+            )
+            compose_b = make_compose_single(
+                dims.U, dims.WREG, ubuf, CFMAX, WIN, False, interp
+            )
+            contrib, fo = prepare_contrib(bank, bank_lens, gains, ar, None)
+            _, windows = compose_a(
+                ar["region_ustart"], ar["region_ucount"], ar["unit_off"],
+                ar["unit_cf_in"], ar["_unit_n"], contrib, fo,
+            )
+            heads = boundary_heads(bank, bank_lens, gains, ar, windows)
+            contrib, fo = prepare_contrib(bank, bank_lens, gains, ar, heads)
+            bufs, _ = compose_b(
+                ar["region_ustart"], ar["region_ucount"], ar["unit_off"],
+                ar["unit_cf_in"], ar["_unit_n"], contrib, fo,
+            )
+        else:
+            bufs0 = jnp.zeros((dims.R, dims.WREG), F32)
+            bufs, _ = lax.scan(unit_step_fn(bank, bank_lens, gains, ar),
+                               bufs0, jnp.arange(dims.U))
 
         # --- in-region (punct) tail fades ------------------------------
         def fade_step(bufs, k):
@@ -645,13 +770,16 @@ def _compiled_core(dims: PlanDims, ubuf: int):
 
 def execute_plan_jax(plan: SynthesisPlan, db: VoiceDatabase,
                      voice: Optional[DeviceVoice] = None,
-                     bucket: bool = True) -> np.ndarray:
+                     bucket: bool = True,
+                     pallas_compose: bool = False) -> np.ndarray:
     """Single-sentence convenience entry: lower, run, trim, int16."""
     if voice is None:
         voice = DeviceVoice(db, plan.target_rms)
     dplan = build_device_plan(plan, db)
+    dims = dataclasses.replace(dplan.dims, pallas_compose=pallas_compose)
     if bucket:
-        dplan = build_device_plan(plan, db, bucket_dims(dplan.dims))
+        dims = bucket_dims(dims)
+    dplan = build_device_plan(plan, db, dims)
     core = _compiled_core(dplan.dims, voice.ubuf)
     arrays = {k: jnp.asarray(v) for k, v in dplan.arrays.items()}
     out, out_len = core(voice.bank, voice.lengths, voice.gains, arrays)

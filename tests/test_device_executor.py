@@ -51,6 +51,22 @@ def test_device_matches_oracle(voice_db, voice, text, speed):
     assert diff.max() <= 2, f"max diff {diff.max()} at {np.argmax(diff)}"
 
 
+def test_pallas_compose_matches_oracle(voice_db, voice):
+    """The roll-based Pallas compose kernel (interpret mode on CPU) must
+    match the oracle like the scan path does."""
+    from ctts_tpu.synth.device import execute_plan_jax
+
+    db = VoiceDatabase(voice_db)
+    config = config_defaults()
+    for text in ("como vai", "como se chama?"):
+        plan = compile_plan(db, text, config, None, 1.0)
+        ref = execute_plan_oracle(plan, db)
+        out = execute_plan_jax(plan, db, voice, pallas_compose=True)
+        assert ref.shape[0] == out.shape[0]
+        diff = np.abs(ref.astype(np.int32) - out.astype(np.int32))
+        assert diff.max() <= 2, f"{text}: max diff {diff.max()}"
+
+
 def test_device_shipped_config(voice_db, voice):
     """Shipped config: 90/140 ms crossfades exercise the margin-spill path
     (units shorter than the next crossfade)."""

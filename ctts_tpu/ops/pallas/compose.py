@@ -1,11 +1,17 @@
 """Pallas TPU kernels: region composition (crossfade overlap placement).
 
-The sequential unit-compose scan is the device executor's hottest stage:
-under vmap its batch-varying dynamic slices lower to gather/scatter HLOs
-(~1s per 64-sentence batch). Mosaic cannot DMA at unaligned dynamic
-offsets, but *dynamic rolls* are supported — so placement is done in VMEM
-with flat rolls (sublane + lane roll + lane-boundary select) and masked
-merges.
+STATUS: correct (≤1 LSB vs oracle on chip) but measured SLOWER than the
+vmapped XLA scan (29× vs 37× realtime at batch 64): the TPU grid executes
+sequentially, so the kernel serializes over batch×region programs, while
+the XLA scan vectorizes the whole batch per step. Roll shifts are scalar
+per program, so batch elements with different offsets cannot share one
+vector op. Kept as an alternative path (dims.pallas_compose) and as the
+reference for roll-based unaligned placement; a winning kernel needs a
+batch-in-sublane layout with per-row shift emulation (round 2).
+
+Mechanism: Mosaic cannot DMA at unaligned dynamic offsets, but *dynamic
+rolls* are supported — placement runs in VMEM with flat rolls (sublane +
+lane roll + lane-boundary select) and masked merges.
 
 Split of responsibilities (see synth/device.py):
 - XLA precomputes per-unit *contributions*: RMS-gained, (pass B:

@@ -77,6 +77,15 @@ class PlanDims:
     synth_hop: int   # static WSOLA synthesis hop (0 when not stretching)
     contour_drift: int  # ceil(256 * max_pitch_change) + 2 (resample bound)
     pallas_compose: bool = False  # roll-based Pallas compose kernel
+    # exact_compose (default): single scan with in-step boundary DSP —
+    # each boundary's analysis window includes prior units' head mods,
+    # matching the C exactly. False = two light compose passes with
+    # batched boundary DSP in between; measured no faster (the pitch
+    # convolutions, not the scan, dominate) and its windows miss prior
+    # head mods, which flips pitch decisions whenever a unit is shorter
+    # than ~2.7 crossfades (common at crossfade_vowel_ms=45) — up to
+    # 0.07 max-abs local divergence. Kept for experimentation only.
+    exact_compose: bool = True
 
 
 def _roundup(x: int, m: int = 128) -> int:
@@ -614,13 +623,45 @@ def build_core(dims: PlanDims, ubuf: int):
         ar = dict(ar)
         ar["_next_pitch"] = next_pitches
 
+        ar["_unit_n"] = jnp.where(
+            ar["unit_id"] >= 0,
+            bank_lens[jnp.maximum(ar["unit_id"], 0)], 0
+        ).astype(jnp.int32)
+
+        def compose_scan(contrib, fo, export_windows):
+            """Light placement scan: crossfade-mix + write per unit slot
+            (contributions fully prepared); optionally export each unit's
+            pre-merge analysis window."""
+            it = jnp.arange(CFMAX)
+            iu = jnp.arange(ubuf)
+
+            def step(bufs, k):
+                active = ar["unit_id"][k] >= 0
+                r = ar["unit_region"][k]
+                off = ar["unit_off"][k]
+                cf = ar["unit_cf_in"][k]
+                n = ar["_unit_n"][k]
+                x = contrib[k]
+                if export_windows:
+                    win = lax.dynamic_slice(
+                        bufs[r], (off + cf - WIN,), (WIN,)
+                    )
+                else:
+                    win = jnp.zeros((), F32)
+                tail = lax.dynamic_slice(bufs[r], (off,), (CFMAX,))
+                mixed = q16(trunc16(tail * fo[k] + x[:CFMAX]))
+                x = jnp.where(iu < cf, jnp.pad(mixed, (0, ubuf - CFMAX)), x)
+                cur = lax.dynamic_slice(bufs[r], (off,), (ubuf,))
+                neww = jnp.where((iu < n) & active, x, cur)
+                bufs = lax.dynamic_update_slice(bufs, neww[None, :], (r, off))
+                return bufs, win
+
+            bufs0 = jnp.zeros((dims.R, dims.WREG), F32)
+            return lax.scan(step, bufs0, jnp.arange(dims.U))
+
         if dims.pallas_compose:
             from ctts_tpu.ops.pallas.compose import make_compose_single
 
-            ar["_unit_n"] = jnp.where(
-                ar["unit_id"] >= 0,
-                bank_lens[jnp.maximum(ar["unit_id"], 0)], 0
-            ).astype(jnp.int32)
             interp = jax.default_backend() != "tpu"
             compose_a = make_compose_single(
                 dims.U, dims.WREG, ubuf, CFMAX, WIN, True, interp
@@ -639,10 +680,17 @@ def build_core(dims: PlanDims, ubuf: int):
                 ar["region_ustart"], ar["region_ucount"], ar["unit_off"],
                 ar["unit_cf_in"], ar["_unit_n"], contrib, fo,
             )
-        else:
+        elif dims.exact_compose:
             bufs0 = jnp.zeros((dims.R, dims.WREG), F32)
             bufs, _ = lax.scan(unit_step_fn(bank, bank_lens, gains, ar),
                                bufs0, jnp.arange(dims.U))
+        else:
+            # Two-pass XLA compose: light scans + batched boundary DSP.
+            contrib, fo = prepare_contrib(bank, bank_lens, gains, ar, None)
+            _, windows = compose_scan(contrib, fo, True)
+            heads = boundary_heads(bank, bank_lens, gains, ar, windows)
+            contrib, fo = prepare_contrib(bank, bank_lens, gains, ar, heads)
+            bufs, _ = compose_scan(contrib, fo, False)
 
         # --- in-region (punct) tail fades ------------------------------
         def fade_step(bufs, k):

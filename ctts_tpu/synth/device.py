@@ -692,17 +692,33 @@ def build_core(dims: PlanDims, ubuf: int):
             contrib, fo = prepare_contrib(bank, bank_lens, gains, ar, heads)
             bufs, _ = compose_scan(contrib, fo, False)
 
-        # --- in-region (punct) tail fades ------------------------------
-        def fade_step(bufs, k):
-            r = ar["fade_region"][k]
-            pos = ar["fade_pos"][k]
-            row = bufs[r]
-            faded = dops.tail_fade(row, MARGIN + jnp.maximum(pos, 0),
-                                   ar["fade_len"][k])
-            row = jnp.where(pos >= 0, faded, row)
-            return bufs.at[r].set(row), None
+        # --- in-region (punct) tail fades --------------------------------
+        # Fade windows never overlap (each is ~3 ms and every pair is
+        # separated by a punctuation pause; only a pathological
+        # word_pause_ms≈0 config could overlap them, where C would apply
+        # both sequentially), so all fades combine into one gain pass —
+        # no scan, no scatter.
+        from ctts_tpu.ops.luts import sine_fade_gain
 
-        bufs, _ = lax.scan(fade_step, bufs, jnp.arange(dims.FD))
+        iw = jnp.arange(dims.WREG)
+        rr = jnp.arange(dims.R)[:, None]
+        gains_all = jnp.ones((dims.R, dims.WREG), F32)
+        fade_mask = jnp.zeros((dims.R, dims.WREG), bool)
+        for k in range(dims.FD):
+            pos = MARGIN + jnp.maximum(ar["fade_pos"][k], 0)
+            flen = jnp.minimum(ar["fade_len"][k], pos)
+            start = pos - flen
+            rel = (iw - start).astype(F32)
+            t = (flen.astype(F32) - rel) * (
+                F32(1.0) / jnp.maximum(flen, 1).astype(F32)
+            )
+            gain = sine_fade_gain(t)
+            active = (ar["fade_pos"][k] >= 0) & (flen > 0)
+            in_fade = (iw >= start) & (iw < pos) & active
+            sel = (rr == ar["fade_region"][k]) & in_fade[None, :]
+            gains_all = jnp.where(sel, gain[None, :], gains_all)
+            fade_mask = fade_mask | sel
+        bufs = jnp.where(fade_mask, trunc16(bufs * gains_all), bufs)
 
         # --- per-region word DSP -----------------------------------------
         # 2a: silence-removal segment tables (vmapped mask math, XLA).

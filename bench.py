@@ -147,19 +147,25 @@ def main() -> None:
     rtf = total_audio / dt
     rtf_per_chip = rtf / max(n_chips, 1)
 
-    # Parity vs oracle on one utterance (device-path accuracy).
+    # Parity vs oracle across the whole corpus (device-path accuracy).
     from ctts_tpu.plan.compiler import compile_plan
     from ctts_tpu.synth.oracle import execute_plan_oracle
 
-    plan = compile_plan(db, TEXTS[3], config, None, 1.0)
-    ref = execute_plan_oracle(plan, db)
-    got = bs.synthesize([TEXTS[3]])[0]
-    n = min(len(ref), len(got))
-    max_abs = float(
-        np.abs(ref[:n].astype(np.int32) - got[:n].astype(np.int32)).max()
-        / 32768.0
-    ) if n else 1.0
-    len_match = bool(len(ref) == len(got))
+    max_abs = 0.0
+    frac_bad = 0.0
+    total = 0
+    len_match = True
+    for t, got in zip(TEXTS, outs[: len(TEXTS)]):
+        plan = compile_plan(db, t, config, None, 1.0)
+        ref = execute_plan_oracle(plan, db)
+        len_match &= bool(len(ref) == len(got))
+        n = min(len(ref), len(got))
+        if n:
+            diff = np.abs(ref[:n].astype(np.int32) - got[:n].astype(np.int32))
+            max_abs = max(max_abs, float(diff.max() / 32768.0))
+            frac_bad += int((diff > 32) .sum())  # > 1e-3 budget
+            total += n
+    frac_over_budget = frac_bad / max(total, 1)
 
     c_rtf = measure_c_reference(root, dbp)
     vs_baseline = rtf / c_rtf if c_rtf > 0 else 0.0
@@ -174,6 +180,7 @@ def main() -> None:
         "batch_sentences": len(texts),
         "c_reference_x_realtime": round(c_rtf, 2),
         "parity_max_abs_vs_oracle": max_abs,
+        "parity_frac_samples_over_1e3": round(frac_over_budget, 8),
         "parity_length_match": len_match,
     }))
 

@@ -80,16 +80,23 @@ def unit_waveform(text: str) -> np.ndarray:
     n = int(SAMPLE_RATE * dur_ms / 1000.0)
     t = np.arange(n, dtype=np.float64) / SAMPLE_RATE
 
-    # Slight pitch drift makes boundary pitch-smoothing meaningful.
-    drift = 1.0 + 0.03 * np.sin(2 * np.pi * 1.7 * t + (h % 7))
+    # Pitch drift + detuned (inharmonic) partials + a small noise floor:
+    # perfectly harmonic stacks make the autocorrelation nearly equal at
+    # lag L and 2L, so pitch-lag argmaxes sit on float near-ties that flip
+    # across backends. Real speech is aperiodic enough not to; make the
+    # synthetic units likewise.
+    drift = 1.0 + 0.05 * np.sin(2 * np.pi * 1.7 * t + (h % 7))
     phase = np.cumsum(2 * np.pi * f0 * drift / SAMPLE_RATE)
+    det2 = 1.003 + (h % 5) * 1e-3
+    det3 = 0.995 - (h % 3) * 1e-3
 
     wave = (
         0.9 * np.sin(phase)
-        + 0.45 * np.sin(2 * phase + 0.5)
-        + 0.22 * np.sin(3 * phase + 1.1)
-        + 0.08 * np.sin(4 * phase + 2.0)
+        + 0.45 * np.sin(det2 * 2 * phase + 0.5)
+        + 0.22 * np.sin(det3 * 3 * phase + 1.1)
+        + 0.08 * np.sin(4.02 * phase + 2.0)
     )
+    wave += 0.015 * rng.randn(n)
 
     # Amplitude envelope: attack, sustain with slow AM, release.
     env = np.ones(n)

@@ -45,10 +45,20 @@ def _pitch_from_segment(seg: jnp.ndarray, count: jnp.ndarray) -> jnp.ndarray:
     mask_i = (i < analysis_len).astype(F32)
     base_m = seg[:PITCH_ANALYSIS] * mask_i
 
-    # corr_all[k] = Σ_i base_m[i] * seg[k + i], k = 0..PITCH_MAX_LAG
-    corr_all = jnp.correlate(seg, base_m, mode="valid", precision=jax.lax.Precision.HIGHEST)          # [276]
-    # e2_all[k] = Σ_i mask[i] * seg[k + i]^2
-    e2_all = jnp.correlate(seg * seg, mask_i, mode="valid", precision=jax.lax.Precision.HIGHEST)      # [276]
+    # corr_all[k] = Σ_i base_m[i] * seg[k + i]   (k = 0..PITCH_MAX_LAG)
+    # e2_all[k]   = Σ_i mask[i]  * seg[k + i]^2
+    # Both as ONE grouped conv (2 feature groups) so a single dispatch
+    # serves both correlations — the conv op carries a per-dispatch
+    # latency floor on this backend.
+    inp = jnp.stack([seg, seg * seg])[None]          # [1, 2, 495]
+    ker = jnp.stack([base_m, mask_i])[:, None, :]    # [2, 1, 220]
+    both = lax.conv_general_dilated(
+        inp, ker, window_strides=(1,), padding="VALID",
+        feature_group_count=2,
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        precision=lax.Precision.HIGHEST,
+    )[0]                                             # [2, 276]
+    corr_all, e2_all = both[0], both[1]
     e1 = jnp.sum(base_m * base_m)
 
     lags = jnp.arange(PITCH_MIN_LAG, PITCH_MAX_LAG + 1)
@@ -146,9 +156,12 @@ def silence_segments(
 ):
     """Mask half of remove_silence_regions (ctts.c:1634-1690): computes the
     kept-segment table without moving data. Returns (starts [NBLK],
-    seg_len [NBLK], new_len) — all zeros/unchanged when the region is
-    all-zero or empty (the C's early-outs). Data movement is done by the
-    Pallas compaction kernel (ops.pallas.compact)."""
+    seg_len [NBLK], new_len, overflow) — all zeros/unchanged when the
+    region is all-zero or empty (the C's early-outs). `overflow` is True
+    when the region had more than NBLK kept segments and the remainder was
+    left uncompacted (graceful divergence — counted and surfaced by the
+    executors, per the no-silent-caps rule). Data movement is done by
+    move_segments."""
     W = buf.shape[0]
     i = jnp.arange(W)
     live = i < length
@@ -198,115 +211,53 @@ def silence_segments(
     starts = jnp.where(unchanged, 0, starts)
     seg_len = jnp.where(unchanged, 0, seg_len)
     new_len = jnp.where(unchanged, length, new_len)
-    return starts, seg_len, new_len
+    return starts, seg_len, new_len, overflow & ~unchanged
 
 
 def move_segments(buf: jnp.ndarray, starts: jnp.ndarray, dst: jnp.ndarray,
                   seg_len: jnp.ndarray) -> jnp.ndarray:
     """Move contiguous segments buf[starts[s]:+len] → out[dst[s]:+len].
 
-    XLA implementation: a short scan of dynamic-slice window moves
-    (slice-granular dynamic ops lower to DMA-like copies on TPU, unlike
-    elementwise gather/scatter/sort which run at a few M elements/s).
-    Destinations must be non-overlapping ascending; untouched positions
-    keep their original content (needed for the region margin).
+    XLA implementation: dynamic-slice window moves (slice-granular dynamic
+    ops lower to DMA-like copies on TPU, unlike elementwise gather/scatter/
+    sort which run at a few M elements/s). Destinations must be
+    non-overlapping ascending; untouched positions keep their original
+    content (needed for the region margin).
+
+    Because compaction shifts (starts-dst = samples removed so far) are
+    non-decreasing, zero-shift segments form a prefix that is already in
+    place and zero-length segments form a suffix: only the middle
+    [first_moving, last_valid] range does work. A while_loop walks just
+    that range, so a region with no removed silence costs zero trips and
+    a typical region costs one or two — under vmap the batch pays the
+    max trip count, not the static NBLK=32 (was: 0.93 s/batch of the
+    round-1 profile, the single largest device cost).
     """
     W = buf.shape[0]
     nblk = starts.shape[0]
     i = jnp.arange(W)
     bufpad = jnp.concatenate([buf, jnp.zeros(W, F32)])
 
-    def mv(out, s):
-        src = lax.dynamic_slice(bufpad, (starts[s],), (W,))
-        cur = lax.dynamic_slice(out, (dst[s],), (W,))
-        merged = jnp.where(i < seg_len[s], src, cur)
-        return lax.dynamic_update_slice(out, merged, (dst[s],)), None
+    moving = (seg_len > 0) & (starts != dst)
+    s_idx = jnp.arange(nblk)
+    first = jnp.min(jnp.where(moving, s_idx, nblk))
+    last = jnp.max(jnp.where(moving, s_idx, -1))
+
+    def cond(carry):
+        out, s = carry
+        return s <= last
+
+    def body(carry):
+        out, s = carry
+        sc = jnp.minimum(s, nblk - 1)
+        src = lax.dynamic_slice(bufpad, (starts[sc],), (W,))
+        cur = lax.dynamic_slice(out, (dst[sc],), (W,))
+        merged = jnp.where(i < seg_len[sc], src, cur)
+        return lax.dynamic_update_slice(out, merged, (dst[sc],)), s + 1
 
     out0 = jnp.concatenate([buf, jnp.zeros(W, F32)])
-    out, _ = lax.scan(mv, out0, jnp.arange(nblk))
+    out, _ = lax.while_loop(cond, body, (out0, first))
     return out[:W]
-
-
-def silence_compact(
-    buf: jnp.ndarray,
-    length: jnp.ndarray,
-    threshold: float,
-    min_silence: int,
-):
-    """remove_silence_regions (ctts.c:1634-1690) with masked compaction.
-
-    `buf` is [W] integer-valued f32; only [0, length) is live. Returns
-    (new_buf, new_length). Long sub-threshold runs keep their first
-    max(min_silence/4, 10) samples.
-    """
-    W = buf.shape[0]
-    i = jnp.arange(W)
-    live = i < length
-
-    absv = jnp.abs(buf)
-    max_amp = jnp.max(jnp.where(live, absv, F32(0.0)))
-    abs_threshold = jnp.trunc(max_amp * F32(threshold))
-
-    silent = (absv <= abs_threshold) & live
-
-    prev_silent = jnp.concatenate([jnp.array([False]), silent[:-1]])
-    start_flag = silent & (~prev_silent)
-
-    # Run start at each position: cummax of flagged start indices.
-    start_pos = jnp.where(start_flag, i, -1)
-    run_start = lax.associative_scan(jnp.maximum, start_pos)
-
-    # Run end at each position: next non-silent index (reverse cummin) —
-    # scatter-free run-length computation.
-    nonsilent_idx = jnp.where(~silent, i, W)
-    run_end = lax.associative_scan(jnp.minimum, nonsilent_idx[::-1])[::-1]
-    my_run_len = run_end - run_start
-
-    keep_n = max(min_silence // 4, 10)
-    long_run = my_run_len >= min_silence
-    keep_silent = jnp.where(
-        long_run, (i - run_start) < keep_n, jnp.ones_like(silent)
-    )
-    keep = jnp.where(silent, keep_silent, live)
-
-    # Compaction: kept samples form ≤ NBLK contiguous segments (one per
-    # removed-silence gap). Elementwise gathers are pathologically slow on
-    # TPU, so move whole segments with dynamic slices in a short scan.
-    NBLK = 64
-    seg_start_flag = keep & jnp.concatenate([jnp.array([True]), ~keep[:-1]])
-    next_keep = jnp.concatenate([keep[1:], jnp.array([False])])
-    seg_end_flag = keep & (~next_keep)
-
-    big = jnp.int32(W)
-    start_pos = jnp.where(seg_start_flag, i, big)
-    end_pos = jnp.where(seg_end_flag, i, big)
-    # NBLK smallest flagged positions, ascending.
-    starts = -lax.top_k(-start_pos, NBLK)[0]
-    ends = -lax.top_k(-end_pos, NBLK)[0]
-    valid_seg = starts < W
-    seg_len = jnp.where(valid_seg, ends - starts + 1, 0)
-    dst = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), jnp.cumsum(seg_len)[:-1]]
-    )
-    new_len = jnp.sum(seg_len)
-
-    bufpad = jnp.concatenate([buf, jnp.zeros(W, F32)])
-
-    def move(out, s):
-        src = lax.dynamic_slice(bufpad, (starts[s],), (W,))
-        cur = lax.dynamic_slice(out, (dst[s],), (W,))
-        merged = jnp.where(i < seg_len[s], src, cur)
-        return lax.dynamic_update_slice(out, merged, (dst[s],)), None
-
-    out0 = jnp.zeros(2 * W, F32)
-    out, _ = lax.scan(move, out0, jnp.arange(NBLK))
-    out = out[:W]
-
-    # If the live region is all zeros (max_amp == 0) C returns unchanged.
-    unchanged = (max_amp == F32(0.0)) | (length == 0)
-    out = jnp.where(unchanged, buf, out)
-    new_len = jnp.where(unchanged, length, new_len)
-    return out, new_len
 
 
 def _contour0(content: jnp.ndarray, count: jnp.ndarray,

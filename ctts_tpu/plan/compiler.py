@@ -73,6 +73,9 @@ class PlanOp:
     word_index: int = 0
     # FADE_TAIL
     fade_samples: int = 0
+    # MARK_WORD: emitted by sentence-end punctuation (vs whitespace) —
+    # the legal split point for host-side sentence splitting (plan.split).
+    sentence_end: bool = False
 
 
 @dataclasses.dataclass
@@ -92,6 +95,10 @@ class SynthesisPlan:
     fade_in_samples: int
     fade_out_samples: int
     target_rms: float = TARGET_RMS
+    # Pre-removal running sentence length at the start of this plan's ops.
+    # 0 for a whole utterance; sentence splitting (plan.split) sets it so
+    # each row's baked analysis/boundary caps match the unsplit walk.
+    buf_total0: int = 0
 
 
 _WHITESPACE = (0x20, 0x09, 0x0A, 0x0D)
@@ -163,7 +170,7 @@ def compile_plan(
                 ops.append(PlanOp(OpKind.SILENCE, n_samples=pause_samples))
             if is_sentence_end(c):
                 current_word_index = 0
-                ops.append(PlanOp(OpKind.MARK_WORD))
+                ops.append(PlanOp(OpKind.MARK_WORD, sentence_end=True))
             pos += 1
             prev_was_word_boundary = True
             continue

@@ -70,6 +70,8 @@ class PlanDims:
     CFMAX: int    # max crossfade samples
     SMAX: int     # sentence buffer width
     OMAX: int     # WSOLA output width
+    CONTW: int    # region-content DSP width (contour/energy/tail work)
+    FADEW: int    # in-region fade patch width (≥ max fade_out length)
     fade_in_samples: int
     min_silence_samples: int
     remove_dc: bool
@@ -106,27 +108,18 @@ def bucket_dims(d: PlanDims, floor: Optional[dict] = None) -> PlanDims:
     corpus lands in one bucket."""
     floor = floor or {}
     smax = _next_pow2(max(d.SMAX, floor.get("SMAX", 0)), 16384)
+    wreg = _next_pow2(max(d.WREG, floor.get("WREG", 0)), 16384)
     return dataclasses.replace(
         d,
         U=_next_pow2(max(d.U, floor.get("U", 0)), 8),
         R=_next_pow2(max(d.R, floor.get("R", 0)), 4),
         FD=_next_pow2(max(d.FD, floor.get("FD", 0)), 4),
-        WREG=_next_pow2(max(d.WREG, floor.get("WREG", 0)), 16384),
+        WREG=wreg,
+        CONTW=min(_next_pow2(max(d.CONTW, floor.get("CONTW", 0)), 4096),
+                  wreg - d.MARGIN),
         SMAX=smax,
         OMAX=(2 * smax + 4096) if d.stretch else smax,
     )
-
-
-ARRAY_NAMES = [
-    "unit_id", "unit_region", "unit_off", "unit_boundary", "unit_cf_in",
-    "unit_fade_in", "unit_smooth", "unit_analysis", "unit_boundary_len",
-    "unit_shift_region", "unit_prev_ok",
-    "region_len", "region_do_dsp", "region_remove", "region_pause",
-    "region_fade_after", "region_contour", "region_qfinal", "region_energy",
-    "region_active",
-    "fade_region", "fade_pos", "fade_len",
-    "threshold", "speed",
-]
 
 
 @dataclasses.dataclass
@@ -209,11 +202,30 @@ def intonation_scalars(inton, word_index: int, total_words: int,
             qfinal, bool(energy_active))
 
 
-def build_device_plan(plan: SynthesisPlan, db: VoiceDatabase,
-                      dims: Optional[PlanDims] = None) -> DevicePlan:
-    """Lower a compiled plan to padded arrays. With `dims=None`, minimal
-    per-sentence dimensions are derived; pass bucketed dims for batching."""
-    cfg = plan.config
+@dataclasses.dataclass
+class WalkedPlan:
+    """Host lowering intermediate: the plan walked into region/unit/fade
+    records, before padding into dims-shaped arrays. Built once per plan
+    (walk_plan) and reusable across dims (fill_device_plan) so the batch
+    path does not lower every plan twice."""
+
+    plan: SynthesisPlan
+    units: list
+    regions: list
+    fades: list
+    cf_max: int
+    margin: int
+    win: int
+    cfmax: int
+    max_region_len: int
+    total_len: int
+    stretch: bool
+    synth_hop: int
+
+
+def walk_plan(plan: SynthesisPlan, db: VoiceDatabase) -> WalkedPlan:
+    """Walk a compiled plan's ops into region-relative unit/fade records
+    (the dims-independent half of lowering)."""
     unit_ids = {op.unit_idx for op in plan.ops if op.kind == OpKind.UNIT}
     unit_lens = {i: int(db.index[i]["sample_count"]) for i in unit_ids}
 
@@ -230,7 +242,9 @@ def build_device_plan(plan: SynthesisPlan, db: VoiceDatabase,
     cur = {"len": 0, "do_dsp": False, "word_index": 0, "pause_after": 0,
            "fade_after": 0}
     cursor = 0
-    buf_total = 0   # static running sentence length (pre-removal proxy)
+    # static running sentence length (pre-removal proxy); starts at the
+    # plan's offset so sentence-split rows bake the same caps as unsplit
+    buf_total = plan.buf_total0
     post_dsp = False
 
     def close_region():
@@ -286,41 +300,69 @@ def build_device_plan(plan: SynthesisPlan, db: VoiceDatabase,
     close_region()
 
     max_region_len = max([r["len"] for r in regions] + [1])
-    bank_w = _roundup(int(db.index["sample_count"].max()), 1024)
 
     from ctts_tpu.ops.wsola_jax import synthesis_hop_for_speed
 
     stretch = bool(np.float32(plan.speed) != np.float32(1.0))
     synth_hop = synthesis_hop_for_speed(plan.speed) if stretch else 0
-    if dims is None:
-        total_len = sum(r["len"] + r["pause_after"] for r in regions)
-        smax = _roundup(max(total_len, 1024))
-        dims = PlanDims(
-            U=max(len(units), 1),
-            R=max(len(regions), 1),
-            FD=max(len(fades), 1),
-            WREG=_roundup(margin + max_region_len + bank_w + cfmax, 1024),
-            MARGIN=margin,
-            UBUF=bank_w,
-            WIN=win,
-            CFMAX=cfmax,
-            SMAX=smax,
-            OMAX=_roundup(2 * smax + 2048) if stretch else smax,
-            fade_in_samples=plan.fade_in_samples,
-            min_silence_samples=plan.min_silence_samples,
-            remove_dc=bool(cfg.remove_dc_offset),
-            stretch=stretch,
-            synth_hop=synth_hop,
-            contour_drift=min(
-                int(np.ceil(256 * abs(cfg.max_pitch_change))) + 2, 256
-            ),
-        )
-    assert dims.stretch == stretch, "speed class must match the bucket"
-    assert dims.synth_hop == synth_hop, "synthesis hop must match the bucket"
+    total_len = sum(r["len"] + r["pause_after"] for r in regions)
+    return WalkedPlan(
+        plan=plan, units=units, regions=regions, fades=fades,
+        cf_max=cf_max, margin=margin, win=win, cfmax=cfmax,
+        max_region_len=max_region_len, total_len=total_len,
+        stretch=stretch, synth_hop=synth_hop,
+    )
+
+
+def derive_dims(w: WalkedPlan, db: VoiceDatabase) -> PlanDims:
+    """Minimal per-sentence static dimensions for a walked plan."""
+    cfg = w.plan.config
+    bank_w = _roundup(int(db.index["sample_count"].max()), 1024)
+    smax = _roundup(max(w.total_len, 1024))
+    return PlanDims(
+        U=max(len(w.units), 1),
+        R=max(len(w.regions), 1),
+        FD=max(len(w.fades), 1),
+        WREG=_roundup(w.margin + w.max_region_len + bank_w + w.cfmax, 1024),
+        MARGIN=w.margin,
+        UBUF=bank_w,
+        WIN=w.win,
+        CFMAX=w.cfmax,
+        SMAX=smax,
+        OMAX=_roundup(2 * smax + 2048) if w.stretch else smax,
+        CONTW=min(_next_pow2(max(w.max_region_len, 1024), 1024),
+                  _roundup(w.margin + w.max_region_len + bank_w + w.cfmax,
+                           1024) - w.margin),
+        FADEW=min(_roundup(max([f[2] for f in w.fades] + [1]), 128),
+                  w.margin),
+        fade_in_samples=w.plan.fade_in_samples,
+        min_silence_samples=w.plan.min_silence_samples,
+        remove_dc=bool(cfg.remove_dc_offset),
+        stretch=w.stretch,
+        synth_hop=w.synth_hop,
+        contour_drift=min(
+            int(np.ceil(256 * abs(cfg.max_pitch_change))) + 2, 256
+        ),
+    )
+
+
+def fill_device_plan(w: WalkedPlan, db: VoiceDatabase,
+                     dims: PlanDims) -> DevicePlan:
+    """Pad a walked plan into dims-shaped arrays (dims-dependent half)."""
+    plan, units, regions, fades = w.plan, w.units, w.regions, w.fades
+    cfg = plan.config
+    bank_w = _roundup(int(db.index["sample_count"].max()), 1024)
+    assert dims.stretch == w.stretch, "speed class must match the bucket"
+    assert dims.synth_hop == w.synth_hop, \
+        "synthesis hop must match the bucket"
     assert len(units) <= dims.U and len(regions) <= dims.R
     assert len(fades) <= dims.FD
-    assert dims.MARGIN >= 2 * cf_max, "crossfade exceeds margin"
+    assert dims.MARGIN >= 2 * w.cf_max, "crossfade exceeds margin"
     assert dims.UBUF >= bank_w
+    assert dims.CONTW >= w.max_region_len, "region exceeds CONTW"
+    assert dims.CONTW <= dims.WREG - dims.MARGIN
+    assert all(f[2] <= dims.FADEW for f in fades), "fade exceeds FADEW"
+    assert dims.FADEW <= dims.MARGIN
 
     a = {}
     a["unit_id"] = np.full(dims.U, -1, np.int32)
@@ -401,6 +443,17 @@ def build_device_plan(plan: SynthesisPlan, db: VoiceDatabase,
     return DevicePlan(dims=dims, arrays=a, speed=plan.speed)
 
 
+def build_device_plan(plan: SynthesisPlan, db: VoiceDatabase,
+                      dims: Optional[PlanDims] = None) -> DevicePlan:
+    """Lower a compiled plan to padded arrays. With `dims=None`, minimal
+    per-sentence dimensions are derived; pass bucketed dims for batching.
+    (Batch callers should walk_plan once and fill_device_plan per bucket.)"""
+    w = walk_plan(plan, db)
+    if dims is None:
+        dims = derive_dims(w, db)
+    return fill_device_plan(w, db, dims)
+
+
 class DeviceVoice:
     """Device-resident voice bank: padded units, lengths, exact RMS gains.
 
@@ -431,12 +484,23 @@ class DeviceVoice:
 
 
 @functools.lru_cache(maxsize=64)
-def build_core(dims: PlanDims, ubuf: int):
+def build_core(dims: PlanDims, ubuf: int, stage: str = "full"):
     """Build the (unjitted) synthesis core for one dims specialization.
-    Signature: core(bank, bank_lens, gains, arrays) -> (out, out_len)."""
+    Signature: core(bank, bank_lens, gains, arrays) -> (out, out_len).
+
+    `stage` truncates the pipeline for profiling (tools/profile_stages.py):
+    the core returns a checksum of the stage output instead of audio, so
+    stage-to-stage wall-clock deltas attribute device time. "full" is the
+    production pipeline."""
+
+    def _ck(x):
+        return jnp.sum(x.astype(F32)).astype(F32), jnp.int32(0)
 
     MARGIN, WIN, CFMAX = dims.MARGIN, dims.WIN, dims.CFMAX
-    content_w = dims.WREG - MARGIN
+    # Region DSP (contour/energy/tail-fade) only ever touches the first
+    # CONTW ≤ WREG-MARGIN content samples (CONTW covers the longest
+    # region); working on the slice shrinks the contour intermediates.
+    content_w = dims.CONTW
     max_frames = max((content_w - 256) // 128 + 2, 1)
 
     def unit_step_fn(bank, bank_lens, gains, ar):
@@ -620,6 +684,8 @@ def build_core(dims: PlanDims, ubuf: int):
             return dops.estimate_pitch_head(x, ar["unit_analysis"][k])
 
         next_pitches = jax.vmap(head_pitch)(jnp.arange(dims.U))
+        if stage == "head_pitch":
+            return _ck(next_pitches)
         ar = dict(ar)
         ar["_next_pitch"] = next_pitches
 
@@ -691,41 +757,48 @@ def build_core(dims: PlanDims, ubuf: int):
             heads = boundary_heads(bank, bank_lens, gains, ar, windows)
             contrib, fo = prepare_contrib(bank, bank_lens, gains, ar, heads)
             bufs, _ = compose_scan(contrib, fo, False)
+        if stage == "compose":
+            return _ck(bufs)
 
         # --- in-region (punct) tail fades --------------------------------
-        # Fade windows never overlap (each is ~3 ms and every pair is
-        # separated by a punctuation pause; only a pathological
-        # word_pause_ms≈0 config could overlap them, where C would apply
-        # both sequentially), so all fades combine into one gain pass —
-        # no scan, no scatter.
+        # Each fade touches ≤ FADEW samples before its position, and fade
+        # windows never overlap (each is ~3 ms and every pair is separated
+        # by a punctuation pause; only a pathological word_pause_ms≈0
+        # config could overlap them, where C would apply both
+        # sequentially). Apply them as FADEW-wide window patches — a short
+        # scan of tiny slice/update pairs instead of full-WREG gain
+        # passes (0.18 s/batch in the round-1 profile).
         from ctts_tpu.ops.luts import sine_fade_gain
 
-        iw = jnp.arange(dims.WREG)
-        rr = jnp.arange(dims.R)[:, None]
-        gains_all = jnp.ones((dims.R, dims.WREG), F32)
-        fade_mask = jnp.zeros((dims.R, dims.WREG), bool)
-        for k in range(dims.FD):
+        jf = jnp.arange(dims.FADEW)
+
+        def fade_step(b, k):
             pos = MARGIN + jnp.maximum(ar["fade_pos"][k], 0)
             flen = jnp.minimum(ar["fade_len"][k], pos)
-            start = pos - flen
-            rel = (iw - start).astype(F32)
+            r = ar["fade_region"][k]
+            win = lax.dynamic_slice(
+                b, (r, pos - dims.FADEW), (1, dims.FADEW))[0]
+            rel = (jf - (dims.FADEW - flen)).astype(F32)
             t = (flen.astype(F32) - rel) * (
                 F32(1.0) / jnp.maximum(flen, 1).astype(F32)
             )
             gain = sine_fade_gain(t)
             active = (ar["fade_pos"][k] >= 0) & (flen > 0)
-            in_fade = (iw >= start) & (iw < pos) & active
-            sel = (rr == ar["fade_region"][k]) & in_fade[None, :]
-            gains_all = jnp.where(sel, gain[None, :], gains_all)
-            fade_mask = fade_mask | sel
-        bufs = jnp.where(fade_mask, trunc16(bufs * gains_all), bufs)
+            in_fade = (jf >= dims.FADEW - flen) & active
+            neww = jnp.where(in_fade, trunc16(win * gain), win)
+            return lax.dynamic_update_slice(
+                b, neww[None], (r, pos - dims.FADEW)), None
+
+        bufs, _ = lax.scan(fade_step, bufs, jnp.arange(dims.FD))
+        if stage == "fades":
+            return _ck(bufs)
 
         # --- per-region word DSP -----------------------------------------
         # 2a: silence-removal segment tables (vmapped mask math, XLA).
         threshold = ar["threshold"]
 
         def seg_table(row, length, do_remove):
-            starts, seg_len, new_len = dops.silence_segments(
+            starts, seg_len, new_len, ovf = dops.silence_segments(
                 row[MARGIN:], length, threshold, dims.min_silence_samples
             )
             starts = jnp.where(do_remove, starts, 0)
@@ -734,23 +807,32 @@ def build_core(dims: PlanDims, ubuf: int):
             dst = MARGIN + jnp.concatenate(
                 [jnp.zeros(1, jnp.int32), jnp.cumsum(seg_len)[:-1]]
             )
-            return starts + MARGIN, dst, seg_len, new_len
+            return starts + MARGIN, dst, seg_len, new_len, ovf & do_remove
 
-        seg_starts, seg_dst, seg_lens, comp_lens = jax.vmap(seg_table)(
-            bufs, ar["region_len"], ar["region_remove"]
-        )
+        seg_starts, seg_dst, seg_lens, comp_lens, seg_ovf = jax.vmap(
+            seg_table
+        )(bufs, ar["region_len"], ar["region_remove"])
+        # Surfaced counter (no-silent-caps rule): regions whose kept-
+        # segment table overflowed NBLK and stayed partially uncompacted.
+        ovf_count = jnp.sum(seg_ovf.astype(jnp.int32))
+        if stage == "segtables":
+            return _ck(seg_starts.astype(F32) + seg_dst.astype(F32)
+                       + seg_lens.astype(F32))
 
         # 2b: data movement — segment window moves (see
         # dops.move_segments; a Pallas DMA kernel is blocked on Mosaic's
         # 1024-alignment requirement for dynamic HBM/VMEM offsets).
         bufs = jax.vmap(dops.move_segments)(bufs, seg_starts, seg_dst,
                                             seg_lens)
+        if stage == "move":
+            return _ck(bufs)
 
         # 2c: contour + energy + fades (vmapped).
         def region_dsp(row, count, do_dsp, contour, qfinal,
                        energy_on, fade_after):
-            margin_part = row[:MARGIN]
-            content = row[MARGIN:]
+            head = row[:MARGIN]
+            content = row[MARGIN:MARGIN + dims.CONTW]
+            rest = row[MARGIN + dims.CONTW:]
 
             ws, we, peak, es, ee = (contour[0], contour[1], contour[2],
                                     contour[3], contour[4])
@@ -780,13 +862,15 @@ def build_core(dims: PlanDims, ubuf: int):
                 dops.tail_fade(content, count, fade_after),
                 content,
             )
-            return jnp.concatenate([margin_part, content])
+            return jnp.concatenate([head, content, rest])
 
         bufs = jax.vmap(region_dsp)(
             bufs, comp_lens, ar["region_do_dsp"],
             ar["region_contour"], ar["region_qfinal"], ar["region_energy"],
             ar["region_fade_after"],
         )
+        if stage == "contour":
+            return _ck(bufs)
         new_lens = jnp.where(ar["region_active"], comp_lens, 0)
         pauses = jnp.where(ar["region_active"], ar["region_pause"], 0)
 
@@ -812,6 +896,8 @@ def build_core(dims: PlanDims, ubuf: int):
         sent = sent[MARGIN: MARGIN + dims.SMAX]
         ii = jnp.arange(dims.SMAX)
         sent = q16(jnp.where(ii < total_len, sent, F32(0.0)))
+        if stage == "assemble":
+            return _ck(sent)
 
         # --- WSOLA (compiled only for speed≠1 buckets) -------------------
         if dims.stretch:
@@ -821,8 +907,10 @@ def build_core(dims: PlanDims, ubuf: int):
             )
         else:
             out, out_len = sent, total_len
+        if stage == "checksum":  # full compute, tiny transfer
+            return _ck(out)[0], out_len
         # int16 on device: halves the host transfer.
-        return out.astype(jnp.int16), out_len
+        return out.astype(jnp.int16), out_len, ovf_count
 
     return core
 
@@ -839,13 +927,20 @@ def execute_plan_jax(plan: SynthesisPlan, db: VoiceDatabase,
     """Single-sentence convenience entry: lower, run, trim, int16."""
     if voice is None:
         voice = DeviceVoice(db, plan.target_rms)
-    dplan = build_device_plan(plan, db)
-    dims = dataclasses.replace(dplan.dims, pallas_compose=pallas_compose)
+    w = walk_plan(plan, db)
+    dims = dataclasses.replace(derive_dims(w, db),
+                               pallas_compose=pallas_compose)
     if bucket:
         dims = bucket_dims(dims)
-    dplan = build_device_plan(plan, db, dims)
+    dplan = fill_device_plan(w, db, dims)
     core = _compiled_core(dplan.dims, voice.ubuf)
     arrays = {k: jnp.asarray(v) for k, v in dplan.arrays.items()}
-    out, out_len = core(voice.bank, voice.lengths, voice.gains, arrays)
+    out, out_len, ovf = core(voice.bank, voice.lengths, voice.gains, arrays)
     out_len = int(out_len)
+    if int(ovf) > 0:
+        import sys
+
+        print(f"ctts_tpu: {int(ovf)} region(s) exceeded the {dops.NBLK}-"
+              "segment silence table; remainder kept uncompacted",
+              file=sys.stderr)
     return np.asarray(out[:out_len]).astype(np.int16)

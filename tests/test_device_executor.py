@@ -108,3 +108,53 @@ def test_batched_sharded_synthesis(voice_db):
         assert ref.shape[0] == out.shape[0], t
         diff = np.abs(ref.astype(np.int32) - out.astype(np.int32))
         assert diff.max() <= 2, f"{t}: max diff {diff.max()}"
+
+
+def test_silence_table_overflow_graceful():
+    """Pathological audio with more kept segments than the NBLK table:
+    the overflow flag is raised and the remainder stays uncompacted (no
+    audio loss) — the documented graceful-divergence path."""
+    import jax.numpy as jnp
+
+    from ctts_tpu.ops import device_ops as dops
+
+    # 40 loud bursts separated by long silences → 40 kept segments.
+    n_bursts = dops.NBLK + 8
+    burst, gap = 64, 400  # gap > min_silence=330
+    parts = []
+    for _ in range(n_bursts):
+        parts.append(np.full(burst, 8000.0, np.float32))
+        parts.append(np.zeros(gap, np.float32))
+    buf = np.concatenate(parts)
+    W = 32768
+    buf = np.pad(buf, (0, W - buf.shape[0])).astype(np.float32)
+    length = n_bursts * (burst + gap)
+
+    starts, seg_len, new_len, ovf = dops.silence_segments(
+        jnp.asarray(buf), jnp.int32(length), 0.1, 330
+    )
+    assert bool(ovf), "expected segment-table overflow"
+    # Catch-all last slot keeps everything from its start to `length`.
+    starts = np.asarray(starts)
+    seg_len = np.asarray(seg_len)
+    assert seg_len[dops.NBLK - 1] == length - starts[dops.NBLK - 1]
+
+    dst = np.concatenate([[0], np.cumsum(seg_len)[:-1]]).astype(np.int32)
+    out = np.asarray(dops.move_segments(
+        jnp.asarray(buf), jnp.asarray(starts), jnp.asarray(dst),
+        jnp.asarray(seg_len),
+    ))
+    # No audio loss: every burst's samples survive, in order.
+    kept = out[: int(new_len)]
+    assert (kept == 8000.0).sum() == n_bursts * burst
+
+
+def test_overflow_counter_surfaced(voice_db, voice, capsys):
+    """Normal corpus texts must NOT report silence-table overflow."""
+    from ctts_tpu.synth.device import execute_plan_jax
+
+    db = VoiceDatabase(voice_db)
+    plan = compile_plan(db, "bom dia. como vai.", config_defaults(), None,
+                        1.0)
+    execute_plan_jax(plan, db, voice)
+    assert "segment silence table" not in capsys.readouterr().err

@@ -47,19 +47,31 @@ def _pitch_from_segment(seg: jnp.ndarray, count: jnp.ndarray) -> jnp.ndarray:
 
     # corr_all[k] = Σ_i base_m[i] * seg[k + i]   (k = 0..PITCH_MAX_LAG)
     # e2_all[k]   = Σ_i mask[i]  * seg[k + i]^2
-    # Both as ONE grouped conv (2 feature groups) so a single dispatch
-    # serves both correlations — the conv op carries a per-dispatch
-    # latency floor on this backend.
-    inp = jnp.stack([seg, seg * seg])[None]          # [1, 2, 495]
-    ker = jnp.stack([base_m, mask_i])[:, None, :]    # [2, 1, 220]
-    both = lax.conv_general_dilated(
+    # DECISION-EXACT (ops.exact): inputs are int16-valued, so both are
+    # computed as exact integers via hi/lo component correlations — all
+    # seven component channels ride ONE grouped conv (single dispatch;
+    # the conv op carries a per-dispatch latency floor on this backend).
+    # The oracle computes the identical integers in f64
+    # (dsp_np.estimate_pitch), making the lag argmax and the 0.3 voiced
+    # threshold bit-stable device-vs-oracle.
+    from ctts_tpu.ops.exact import combine_exact, split_hi_lo
+
+    sh, sl = split_hi_lo(seg)
+    bh, bl = split_hi_lo(base_m)
+    inp = jnp.stack([sh, sh, sl, sl, sh * sh, sh * sl, sl * sl])[None]
+    ker = jnp.stack([bh, bl, bh, bl, mask_i, mask_i, mask_i])[:, None, :]
+    ch = lax.conv_general_dilated(
         inp, ker, window_strides=(1,), padding="VALID",
-        feature_group_count=2,
+        feature_group_count=7,
         dimension_numbers=("NCH", "OIH", "NCH"),
-        precision=lax.Precision.HIGHEST,
-    )[0]                                             # [2, 276]
-    corr_all, e2_all = both[0], both[1]
-    e1 = jnp.sum(base_m * base_m)
+        precision=lax.Precision.HIGHEST,  # squared channels reach 2^14:
+        # bf16 inputs would round them; HIGHEST splits f32 exactly
+    )[0]                                             # [7, 276]
+    corr_all = combine_exact(ch[0], ch[1] + ch[2], ch[3], 256.0)
+    e2_all = combine_exact(ch[4], ch[5], ch[6], 512.0)
+    e1 = combine_exact(
+        jnp.sum(bh * bh), jnp.sum(bh * bl), jnp.sum(bl * bl), 512.0
+    )
 
     lags = jnp.arange(PITCH_MIN_LAG, PITCH_MAX_LAG + 1)
     corr = corr_all[PITCH_MIN_LAG:]
@@ -215,7 +227,7 @@ def silence_segments(
 
 
 def move_segments(buf: jnp.ndarray, starts: jnp.ndarray, dst: jnp.ndarray,
-                  seg_len: jnp.ndarray) -> jnp.ndarray:
+                  seg_len: jnp.ndarray, win_w: int = 0) -> jnp.ndarray:
     """Move contiguous segments buf[starts[s]:+len] → out[dst[s]:+len].
 
     XLA implementation: dynamic-slice window moves (slice-granular dynamic
@@ -234,9 +246,12 @@ def move_segments(buf: jnp.ndarray, starts: jnp.ndarray, dst: jnp.ndarray,
     round-1 profile, the single largest device cost).
     """
     W = buf.shape[0]
+    # Slice-window width: must cover the longest segment (callers pass
+    # the region-content width CONTW; default = whole buffer).
+    MW = win_w if win_w else W
     nblk = starts.shape[0]
-    i = jnp.arange(W)
-    bufpad = jnp.concatenate([buf, jnp.zeros(W, F32)])
+    i = jnp.arange(MW)
+    bufpad = jnp.concatenate([buf, jnp.zeros(MW, F32)])
 
     moving = (seg_len > 0) & (starts != dst)
     s_idx = jnp.arange(nblk)
@@ -250,12 +265,12 @@ def move_segments(buf: jnp.ndarray, starts: jnp.ndarray, dst: jnp.ndarray,
     def body(carry):
         out, s = carry
         sc = jnp.minimum(s, nblk - 1)
-        src = lax.dynamic_slice(bufpad, (starts[sc],), (W,))
-        cur = lax.dynamic_slice(out, (dst[sc],), (W,))
+        src = lax.dynamic_slice(bufpad, (starts[sc],), (MW,))
+        cur = lax.dynamic_slice(out, (dst[sc],), (MW,))
         merged = jnp.where(i < seg_len[sc], src, cur)
         return lax.dynamic_update_slice(out, merged, (dst[sc],)), s + 1
 
-    out0 = jnp.concatenate([buf, jnp.zeros(W, F32)])
+    out0 = jnp.concatenate([buf, jnp.zeros(MW, F32)])
     out, _ = lax.while_loop(cond, body, (out0, first))
     return out[:W]
 

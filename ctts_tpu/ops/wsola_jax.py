@@ -1,11 +1,30 @@
 """WSOLA time stretch on device (parity: ctts.c:3378-3617).
 
 The frame chain is inherently sequential (each search correlates against
-the previously *chosen* frame), so this is a `lax.scan` over frame slots;
-throughput comes from vmapping the scan over sentence batches. Each step
-evaluates the reference's coarse(step 4)-then-fine search; correlations
-for all candidate offsets of one phase are computed as a batched masked
-dot against the previous frame's tail.
+the previously *chosen* frame), so the loop remains a device-side scan —
+but each step is conv-free and gather-free:
+
+- All 257 candidate windows at one nominal position are materialized as
+  stacked static slices of ONE batch-invariant 768-sample window, and
+  the search numerators are batched matvecs against the previous frame's
+  tail (itself a one-hot pick from the same stack) — MXU work instead of
+  the 1-D conv op's per-step dispatch latency.
+- Candidate energies come from a precomputed sliding-window table built
+  once per sentence from int32 cumsums.
+- The chosen frame is fetched by one-hot contraction from the stacked
+  windows instead of a batch-varying dynamic_slice (which lowers to an
+  elementwise gather under vmap — the round-1 stretch-path bottleneck).
+
+Decision arithmetic is EXACT: inputs are int16-valued, so numerators and
+energies are computed as exact integers via hi/lo splitting (ops.exact)
+and rounded to f32 once. The NumPy oracle computes the identical integer
+in f64 (dsp_np.cross_correlation), making WSOLA offset decisions
+bit-stable between device and oracle. (The C reference accumulates in
+f32 with 4-way unrolling — ctts.c:3397-3414; the exact sum agrees with
+it except on float near-ties, bounded by the golden corpus tests.)
+
+The OLA accumulation order and quantization are unchanged (int16
+wrapping adds, per-frame trunc16, f32 norm accumulation in frame order).
 """
 
 from __future__ import annotations
@@ -14,6 +33,11 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from ctts_tpu.ops.exact import (
+    combine_exact,
+    exact_sumsq_components,
+    split_hi_lo,
+)
 from ctts_tpu.ops.luts import hann
 from ctts_tpu.ops.quant import q16, trunc16, wrap16
 
@@ -23,54 +47,35 @@ FRAME = 512
 AHOP = 128          # analysis hop (75% overlap)
 OVERLAP = FRAME - AHOP  # 384
 MAX_SHIFT = 128     # ±25% of frame
+NCAND = 2 * MAX_SHIFT + 1  # 257 candidate offsets
+
+_WIN_W = FRAME + 2 * MAX_SHIFT  # 768: window covering candidates + frame
 
 
-_SEG = OVERLAP + 2 * MAX_SHIFT  # 640: window covering all candidates
+def _sliding_sumsq(x: jnp.ndarray, width: int) -> jnp.ndarray:
+    """Exact sliding-window energy: out[p] = f32(Σ_{i<width} x[p+i]²) for
+    p = 0..len(x)-width, correctly rounded from the exact integer.
+
+    int32 cumsums of the split components may wrap mod 2^32; window
+    differences still recover the true sums (each < 2^24)."""
+    xh, xl = split_hi_lo(x)
+
+    def win_sum(prod):
+        cs = jnp.cumsum(prod.astype(jnp.int32))
+        cs = jnp.concatenate([jnp.zeros(1, jnp.int32), cs])
+        return (cs[width:] - cs[:-width]).astype(F32)
+
+    hh = win_sum(xh * xh)
+    mid = win_sum(xh * xl)
+    ll = win_sum(xl * xl)
+    return combine_exact(hh, mid, ll, 512.0)
 
 
-def _search(inp_pad, input_count, prev_frame, nominal):
-    """find_best_match_wsola: coarse step-4 scan then ±3 fine refinement
-    (ctts.c:3436-3488). All 257 candidate correlations are computed with
-    two `jnp.correlate` calls (XLA conv) over one 640-sample window;
-    selection replicates the C's coarse-then-fine order with strict-'>'
-    (earliest-offset) tie-breaking.
-
-    `inp_pad` is the input left-padded with MAX_SHIFT zeros, so candidate
-    window [nominal+off, +OVERLAP) lives at inp_pad[nominal+off+MAX_SHIFT].
-    """
-    target = prev_frame[FRAME - OVERLAP:]
-
-    seg = lax.dynamic_slice(inp_pad, (nominal,), (_SEG,))
-    num = jnp.correlate(seg, target, mode="valid", precision=lax.Precision.HIGHEST)                # [257]
-    sq1 = jnp.correlate(seg * seg, jnp.ones(OVERLAP, F32), mode="valid", precision=lax.Precision.HIGHEST)
-    sq2 = jnp.sum(target * target)
-
-    denom = jnp.sqrt(sq1 * sq2)
-    corr = jnp.where(denom < F32(1.0), F32(0.0), num / denom)
-
-    offs = jnp.arange(2 * MAX_SHIFT + 1) - MAX_SHIFT              # -128..128
-    pos = nominal + offs
-    valid = (pos >= 0) & (pos + FRAME <= input_count)
-    corr = jnp.where(valid, corr, F32(-jnp.inf))
-
-    # Coarse pass: offsets -128..128 step 4.
-    corr_c = corr[::4]
-    bc = jnp.argmax(corr_c)
-    best_corr = corr_c[bc]
-    best_off = offs[bc * 4]
-    # All candidates invalid → the C keeps offset 0 (best_corr = -2.0f).
-    none_valid = jnp.isneginf(best_corr)
-    best_off = jnp.where(none_valid, 0, best_off)
-
-    # Fine pass: ±3 around the coarse winner, skipping it.
-    rel = jnp.arange(-3, 4)
-    fidx = best_off + MAX_SHIFT + rel
-    fok = (fidx >= 0) & (fidx <= 2 * MAX_SHIFT) & (rel != 0)
-    corr_f = jnp.where(fok, corr[jnp.clip(fidx, 0, 2 * MAX_SHIFT)],
-                       F32(-jnp.inf))
-    bf = jnp.argmax(corr_f)
-    improved = corr_f[bf] > best_corr
-    return jnp.where(improved, best_off + rel[bf], best_off)
+def _stack_windows(win: jnp.ndarray, width: int) -> jnp.ndarray:
+    """[W] -> [NCAND, width]: row o = win[o : o+width] (static slices)."""
+    return jnp.stack([
+        lax.slice(win, (o,), (o + width,)) for o in range(NCAND)
+    ])
 
 
 def synthesis_hop_for_speed(speed: float) -> int:
@@ -81,6 +86,31 @@ def synthesis_hop_for_speed(speed: float) -> int:
 
     s = min(max(np.float32(speed), np.float32(0.5)), np.float32(2.0))
     return max(int(np.float32(AHOP) / s), 1)
+
+
+def _select_offset(corr: jnp.ndarray) -> jnp.ndarray:
+    """Coarse(step 4)-then-fine(±3, skip center) selection with the C's
+    strict-'>' earliest-offset tie-breaking (ctts.c:3436-3488). `corr` is
+    [NCAND] with invalid candidates already masked to -inf."""
+    offs = jnp.arange(NCAND) - MAX_SHIFT  # -128..128
+
+    corr_c = corr[::4]
+    bc = jnp.argmax(corr_c)
+    best_corr = corr_c[bc]
+    best_off = offs[bc * 4]
+    # All candidates invalid → the C keeps offset 0 (best_corr = -2.0f).
+    none_valid = jnp.isneginf(best_corr)
+    best_off = jnp.where(none_valid, 0, best_off)
+    best_corr = jnp.where(none_valid, F32(-2.0), best_corr)
+
+    rel = jnp.arange(-3, 4)
+    fidx = best_off + MAX_SHIFT + rel
+    fok = (fidx >= 0) & (fidx <= 2 * MAX_SHIFT) & (rel != 0)
+    corr_f = jnp.where(fok, corr[jnp.clip(fidx, 0, 2 * MAX_SHIFT)],
+                       F32(-jnp.inf))
+    bf = jnp.argmax(corr_f)
+    improved = corr_f[bf] > best_corr
+    return jnp.where(improved, best_off + rel[bf], best_off)
 
 
 def time_stretch_device(
@@ -113,29 +143,70 @@ def time_stretch_device(
     # Static cap from the output capacity as well.
     max_steps = min(max_steps, (out_size - FRAME) // hop + 1)
 
-    # Left-pad once so the search window never clamps (see _search).
+    # Left-pad by MAX_SHIFT so candidate windows never index below 0, and
+    # right-pad so the widest window slice stays in bounds.
     inp_pad = jnp.concatenate(
-        [jnp.zeros(MAX_SHIFT, F32), inp, jnp.zeros(FRAME, F32)]
+        [jnp.zeros(MAX_SHIFT, F32), inp, jnp.zeros(FRAME + MAX_SHIFT, F32)]
     )
+    # Sliding candidate energies over the padded signal: energy of the
+    # OVERLAP-window starting at padded position p.
+    sq = _sliding_sumsq(inp_pad, OVERLAP)
+    sq_pad = jnp.concatenate([sq, jnp.zeros(_WIN_W, F32)])
+
+    io = jnp.arange(NCAND)
 
     def step(carry, k):
-        out, norm, prev_frame, have_prev, actual_len = carry
+        out, norm, qo_prev, have_prev, actual_len = carry
         nominal = k * AHOP
         synth_pos = k * synthesis_hop
 
         run = (nominal + FRAME <= input_count) & (synth_pos + FRAME <= alloc) \
             & (synth_pos + FRAME <= out_size)
 
-        offset = jnp.where(
-            have_prev, _search(inp_pad, input_count, prev_frame, nominal), 0
-        )
+        # Window covering candidate offsets [-128, 128] + FRAME samples;
+        # padded position of offset o's window start is nominal + o + 128
+        # = win768 index o (win768 starts at padded pos nominal).
+        win768 = lax.dynamic_slice(inp_pad, (nominal,), (_WIN_W,))
+        wh, wl = split_hi_lo(win768)
+        mh = _stack_windows(wh, OVERLAP)   # [257, 384]
+        ml = _stack_windows(wl, OVERLAP)
+
+        # Previous frame's tail = OVERLAP window at padded position
+        # prev_actual + AHOP = (nominal - AHOP + off_prev) + AHOP
+        # = win768 index qo_prev = off_prev + MAX_SHIFT ∈ [0, 256].
+        onehot_q = (io == qo_prev).astype(F32)
+        th = onehot_q @ mh                 # exact picks, [384]
+        tl = onehot_q @ ml
+
+        # Exact integer numerators for all 257 candidates (MXU matvecs;
+        # split halves are bf16-exact so even default precision is exact).
+        hh = mh @ th
+        mid = mh @ tl + ml @ th
+        ll = ml @ tl
+        num = combine_exact(hh, mid, ll, 256.0)        # [257]
+
+        sq1 = lax.dynamic_slice(sq_pad, (nominal,), (NCAND,))
+        sq2 = exact_sumsq_components(th, tl, lambda a, b: a @ b)
+
+        denom = jnp.sqrt(sq1 * sq2)
+        corr = jnp.where(denom < F32(1.0), F32(0.0), num / denom)
+
+        pos = nominal + io - MAX_SHIFT
+        valid = (pos >= 0) & (pos + FRAME <= input_count)
+        corr = jnp.where(valid, corr, F32(-jnp.inf))
+
+        offset = jnp.where(have_prev, _select_offset(corr), 0)
         actual = nominal + offset
         actual = jnp.where(
             actual + FRAME > input_count, input_count - FRAME, actual
         )
         actual = jnp.maximum(actual, 0)
 
-        frame = lax.dynamic_slice(inp, (actual,), (FRAME,))
+        # Frame fetch: one-hot pick from the stacked windows (the frame
+        # at offset d starts at win768 index d + MAX_SHIFT).
+        mf = _stack_windows(win768, FRAME)             # [257, 512]
+        onehot_f = (io == (actual - nominal + MAX_SHIFT)).astype(F32)
+        frame = onehot_f @ mf
         contrib = trunc16(frame * window)
 
         seg = lax.dynamic_slice(out, (synth_pos,), (FRAME,))
@@ -146,17 +217,20 @@ def time_stretch_device(
         nseg = nseg + jnp.where(run, window, F32(0.0))
         norm = lax.dynamic_update_slice(norm, nseg, (synth_pos,))
 
-        prev_frame = jnp.where(run, frame, prev_frame)
+        # Next step's window starts AHOP later: qo = actual + AHOP
+        # relative to (nominal + AHOP) - MAX_SHIFT.
+        qo = actual - nominal + MAX_SHIFT
+        qo_prev = jnp.where(run, qo, qo_prev)
         have_prev = have_prev | run
         actual_len = jnp.where(run, jnp.maximum(actual_len, synth_pos + FRAME),
                                actual_len)
-        return (out, norm, prev_frame, have_prev, actual_len), None
+        return (out, norm, qo_prev, have_prev, actual_len), None
 
     out0 = jnp.zeros(out_size, F32)
     norm0 = jnp.zeros(out_size, F32)
-    prev0 = jnp.zeros(FRAME, F32)
     (out, norm, _, _, actual_len), _ = lax.scan(
-        step, (out0, norm0, prev0, jnp.array(False), jnp.array(0)),
+        step,
+        (out0, norm0, jnp.int32(0), jnp.array(False), jnp.array(0)),
         jnp.arange(max_steps),
     )
 

@@ -256,7 +256,7 @@ def walk_plan(plan: SynthesisPlan, db: VoiceDatabase) -> WalkedPlan:
         cursor = 0
         post_dsp = False
 
-    for op in plan.ops:
+    for oi, op in enumerate(plan.ops):
         r = len(regions)
         if op.kind == OpKind.UNIT:
             n = unit_lens[op.unit_idx]
@@ -281,7 +281,14 @@ def walk_plan(plan: SynthesisPlan, db: VoiceDatabase) -> WalkedPlan:
             cursor = off + n
             buf_total += n - cf_in
         elif op.kind == OpKind.SILENCE:
-            if post_dsp:
+            nxt = plan.ops[oi + 1] if oi + 1 < len(plan.ops) else None
+            closes = nxt is not None and nxt.kind == OpKind.MARK_WORD
+            if post_dsp or closes:
+                # Trailing pause (word pause, or a sentence-end pause
+                # right before the region closes): emit as an assembly
+                # gap instead of in-region zeros — keeps sentence-final
+                # regions (punctuation pauses are ~3x word pause) out of
+                # the region-content width that sizes CONTW/WREG.
                 cur["pause_after"] += op.n_samples
             else:
                 cursor += op.n_samples
@@ -798,8 +805,12 @@ def build_core(dims: PlanDims, ubuf: int, stage: str = "full"):
         threshold = ar["threshold"]
 
         def seg_table(row, length, do_remove):
+            # Region content lives in [MARGIN, MARGIN+CONTW); scanning
+            # only that slice keeps the run-detection scans off the
+            # padded region width.
             starts, seg_len, new_len, ovf = dops.silence_segments(
-                row[MARGIN:], length, threshold, dims.min_silence_samples
+                row[MARGIN:MARGIN + dims.CONTW], length, threshold,
+                dims.min_silence_samples
             )
             starts = jnp.where(do_remove, starts, 0)
             seg_len = jnp.where(do_remove, seg_len, 0)
@@ -822,8 +833,10 @@ def build_core(dims: PlanDims, ubuf: int, stage: str = "full"):
         # 2b: data movement — segment window moves (see
         # dops.move_segments; a Pallas DMA kernel is blocked on Mosaic's
         # 1024-alignment requirement for dynamic HBM/VMEM offsets).
-        bufs = jax.vmap(dops.move_segments)(bufs, seg_starts, seg_dst,
-                                            seg_lens)
+        bufs = jax.vmap(
+            lambda b, s, d, sl: dops.move_segments(b, s, d, sl,
+                                                   win_w=dims.CONTW)
+        )(bufs, seg_starts, seg_dst, seg_lens)
         if stage == "move":
             return _ck(bufs)
 

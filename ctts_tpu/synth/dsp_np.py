@@ -243,7 +243,15 @@ def remove_silence_regions(
 
 def estimate_pitch(samples: np.ndarray) -> np.float32:
     """Normalized-autocorrelation pitch over 80-400 Hz; voiced iff
-    corr > 0.3 (ctts.c:1899-1943). Sequential f32 accumulation per lag."""
+    corr > 0.3 (ctts.c:1899-1943).
+
+    DECISION-EXACT contract (see cross_correlation): the lag sums are
+    exact integers (f64) rounded to f32 once; the device computes the
+    same integers via split-component convolutions
+    (device_ops._pitch_from_segment), so the lag argmax and voiced
+    threshold are bit-stable device-vs-oracle. The C's sequential f32
+    accumulation agrees except on float near-ties (pinned by the golden
+    corpus)."""
     count = samples.shape[0]
     if count < 200:
         return F32(0.0)
@@ -260,16 +268,16 @@ def estimate_pitch(samples: np.ndarray) -> np.float32:
     if analysis_len <= 0 or max_lag < min_lag:
         return F32(0.0)
 
-    s = samples.astype(F32)
+    s = samples.astype(np.float64)
     lags = np.arange(min_lag, max_lag + 1)
     # Gather [n_lags, analysis_len] windows.
     base = s[:analysis_len]
     idx = lags[:, None] + np.arange(analysis_len)[None, :]
     shifted = s[idx]
 
-    corr = seq_f32_sum_axis(base[None, :] * shifted)
-    e1 = seq_f32_sum_axis(np.broadcast_to(base * base, shifted.shape))
-    e2 = seq_f32_sum_axis(shifted * shifted)
+    corr = (shifted @ base).astype(F32)
+    e1 = np.full(corr.shape, F32(np.dot(base, base)), F32)
+    e2 = np.einsum("ni,ni->n", shifted, shifted).astype(F32)
 
     norm = np.sqrt(e1 * e2, dtype=F32)
     corr = np.where(norm > 0, (corr / norm).astype(F32), corr)
@@ -582,25 +590,23 @@ def hanning_window(n: int) -> np.ndarray:
 
 
 def cross_correlation(sig1: np.ndarray, sig2: np.ndarray) -> np.float32:
-    """Normalized correlation with the reference's 4-way-unrolled f32
-    accumulation order (ctts.c:3390-3429)."""
+    """Normalized correlation for the WSOLA search (ctts.c:3390-3429).
+
+    DECISION-EXACT contract: the sums are computed as exact integers (f64
+    — exact for int16 products over ≤1024 terms) and rounded to f32 once,
+    instead of replicating the C's 4-way-unrolled f32 accumulation. The
+    device computes the identical integers via hi/lo split matvecs
+    (ops.exact), so WSOLA offset decisions are bit-stable device-vs-
+    oracle. The C's rounded accumulation agrees except on float near-ties
+    (none in the 120-utterance golden corpus, which pins oracle-vs-C)."""
     length = sig1.shape[0]
     if length == 0:
         return F32(0.0)
-    s1 = sig1.astype(F32)
-    s2 = sig2.astype(F32)
-    len4 = length & ~3
-
-    def unrolled(p: np.ndarray) -> np.ndarray:
-        """Accumulation sequence: one grouped (((p0+p1)+p2)+p3) term per
-        4-sample block, then the tail one-by-one."""
-        blocks = p[:len4].reshape(-1, 4)
-        g = ((blocks[:, 0] + blocks[:, 1]) + blocks[:, 2]) + blocks[:, 3]
-        return np.concatenate([g, p[len4:]])
-
-    sum_prod = seq_f32_sum(unrolled(s1 * s2))
-    sum_sq1 = seq_f32_sum(unrolled(s1 * s1))
-    sum_sq2 = seq_f32_sum(unrolled(s2 * s2))
+    a = sig1.astype(np.float64)
+    b = sig2.astype(np.float64)
+    sum_prod = F32(np.dot(a, b))
+    sum_sq1 = F32(np.dot(a, a))
+    sum_sq2 = F32(np.dot(b, b))
 
     denom = F32(np.sqrt(sum_sq1 * sum_sq2, dtype=F32))
     if denom < F32(1.0):
@@ -611,22 +617,16 @@ def cross_correlation(sig1: np.ndarray, sig2: np.ndarray) -> np.float32:
 def batched_cross_correlation(
     candidates: np.ndarray, target: np.ndarray
 ) -> np.ndarray:
-    """cross_correlation vectorized over axis 0 of `candidates`."""
+    """cross_correlation vectorized over axis 0 of `candidates` (same
+    decision-exact contract)."""
     n, length = candidates.shape
     if length == 0:
         return np.zeros(n, dtype=F32)
-    s1 = candidates.astype(F32)
-    s2 = target.astype(F32)[None, :]
-    len4 = length & ~3
-
-    def unrolled(p: np.ndarray) -> np.ndarray:
-        blocks = p[:, :len4].reshape(n, -1, 4)
-        g = ((blocks[..., 0] + blocks[..., 1]) + blocks[..., 2]) + blocks[..., 3]
-        return np.concatenate([g, p[:, len4:]], axis=1)
-
-    sum_prod = seq_f32_sum_axis(unrolled(s1 * s2))
-    sum_sq1 = seq_f32_sum_axis(unrolled(s1 * s1))
-    sum_sq2 = seq_f32_sum_axis(unrolled(np.broadcast_to(s2 * s2, s1.shape)))
+    s1 = candidates.astype(np.float64)
+    s2 = target.astype(np.float64)
+    sum_prod = (s1 @ s2).astype(F32)
+    sum_sq1 = np.einsum("ni,ni->n", s1, s1).astype(F32)
+    sum_sq2 = F32(np.dot(s2, s2)) * np.ones(n, F32)
 
     denom = np.sqrt(sum_sq1 * sum_sq2, dtype=F32)
     corr = (sum_prod / denom).astype(F32)

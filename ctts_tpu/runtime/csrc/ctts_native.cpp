@@ -487,29 +487,9 @@ enum PhraseType : int32_t {
 
 }  // namespace
 
-extern "C" {
+#include "ctn_api.h"
 
-// Packed plan, mirrors ctts_tpu.plan.compiler.SynthesisPlan.
-struct CtnPlan {
-  int32_t n_ops;
-  const int32_t* kind;        // OpKind per op
-  const int32_t* arg0;        // unit_idx | n_samples | word_index | fade
-  const int32_t* arg1;        // crossfade_samples
-  const int32_t* flags;       // bit0 after_word_boundary, bit1 smooth
-  // config / prosody scalars
-  float speed;
-  float target_rms;
-  float silence_threshold;
-  float max_pitch_change;
-  int32_t min_silence_samples;
-  int32_t fade_in_samples;
-  int32_t remove_dc_offset;
-  int32_t remove_word_silence;
-  int32_t word_count;
-  int32_t phrase_type;
-  float pitch_start, pitch_end, pitch_peak, peak_position;
-  float energy_factor;
-};
+extern "C" {
 
 void* ctn_db_open(const char* path) {
   auto* db = new Database();
@@ -580,6 +560,14 @@ int32_t ctn_db_find_unit(void* handle, const char* text, size_t len) {
     idx = e.next_hash;
   }
   return -1;
+}
+
+const char* ctn_db_unit_text(void* handle, uint32_t idx, uint32_t* len) {
+  auto* db = static_cast<Database*>(handle);
+  if (idx >= db->header.unit_count) return nullptr;
+  const DbIndexEntry& e = db->index[idx];
+  if (len) *len = e.string_len;
+  return db->strings + e.string_offset;
 }
 
 // Execute a plan; returns sample count, writes a malloc'd buffer to *out.

@@ -128,25 +128,41 @@ def main() -> None:
     while batch_mult >= 1:
         texts = TEXTS * batch_mult
         try:
-            # Warmup with the full batch (single bucket + single batch
-            # size → exactly one XLA compilation).
-            _ = bs.synthesize(texts)
+            # Warmup through stream (the timed path): compiles the
+            # UNPACKED core the pipelined loop runs — warming up via
+            # synthesize() would compile the packed core instead and
+            # leave the stream compile inside the timed region.
+            for _ in bs.stream([texts]):
+                pass
             break
         except Exception as e:
             if "memory" not in str(e).lower() or batch_mult == 1:
                 raise
             batch_mult //= 2
 
-    # Steady-state measurement.
-    iters = int(os.environ.get("CTTS_BENCH_ITERS", "3"))
+    # Steady-state measurement through the pipelined serving loop
+    # (device compute of batch N+1 overlaps batch N's device→host drain).
+    iters = int(os.environ.get("CTTS_BENCH_ITERS", "4"))
     t0 = time.perf_counter()
     total_audio = 0.0
-    for _ in range(iters):
-        outs = bs.synthesize(texts)
+    for outs in bs.stream(texts for _ in range(iters)):
         total_audio += sum(o.shape[0] for o in outs) / SAMPLE_RATE
     dt = time.perf_counter() - t0
     rtf = total_audio / dt
     rtf_per_chip = rtf / max(n_chips, 1)
+
+    # WSOLA stretch path (speed 1.5): separate bucket/compile; realtime
+    # factor counts *output* audio seconds.
+    stretch_rtf = 0.0
+    if os.environ.get("CTTS_BENCH_STRETCH", "1") == "1":
+        for _ in bs.stream([texts], speed=1.5):  # compile + warmup
+            pass
+        s_iters = max(iters - 1, 2)
+        t0 = time.perf_counter()
+        s_audio = 0.0
+        for s_outs in bs.stream((texts for _ in range(s_iters)), speed=1.5):
+            s_audio += sum(o.shape[0] for o in s_outs) / SAMPLE_RATE
+        stretch_rtf = s_audio / (time.perf_counter() - t0) / max(n_chips, 1)
 
     # Parity vs oracle across the whole corpus (device-path accuracy).
     from ctts_tpu.plan.compiler import compile_plan
@@ -179,6 +195,7 @@ def main() -> None:
         "aggregate_x_realtime": round(rtf, 2),
         "n_chips": n_chips,
         "batch_sentences": len(texts),
+        "stretch_x_realtime_per_chip": round(stretch_rtf, 2),
         "c_reference_x_realtime": round(c_rtf, 2),
         "parity_max_abs_vs_oracle": max_abs,
         "parity_frac_samples_over_1e3": round(frac_over_budget, 8),

@@ -202,9 +202,20 @@ def silence_segments(
     next_keep = jnp.concatenate([keep[1:], jnp.array([False])])
     seg_end_flag = keep & (~next_keep)
 
-    big = jnp.int32(W)
-    starts = -lax.top_k(-jnp.where(seg_start_flag, i, big), NBLK)[0]
-    ends = -lax.top_k(-jnp.where(seg_end_flag, i, big), NBLK)[0]
+    # Extract the first NBLK segment bounds in order. seg_idx numbers
+    # each kept segment 1..n (its end flag lies inside it, so both flags
+    # see the same number); row s of the [NBLK, W] compare selects
+    # segment s+1's unique flag position via argmax — cheap VPU
+    # reductions instead of top_k (which lowers to a full sort of the
+    # CONTW-wide row on TPU).
+    seg_idx = jnp.cumsum(seg_start_flag.astype(jnp.int32))
+    sel = seg_idx[None, :] == (jnp.arange(NBLK, dtype=jnp.int32)[:, None] + 1)
+    sel_start = sel & seg_start_flag[None, :]
+    sel_end = sel & seg_end_flag[None, :]
+    starts = jnp.where(jnp.any(sel_start, axis=1),
+                       jnp.argmax(sel_start, axis=1), jnp.int32(W))
+    ends = jnp.where(jnp.any(sel_end, axis=1),
+                     jnp.argmax(sel_end, axis=1), jnp.int32(W))
     valid_seg = starts < W
     seg_len = jnp.where(valid_seg, ends - starts + 1, 0)
     # Overflow: >NBLK segments → last slot becomes a catch-all that keeps
@@ -324,17 +335,32 @@ def _contour0(content: jnp.ndarray, count: jnp.ndarray,
     # Resample via shifted selects: a[k,i] = win[k, idx[k,i]] where
     # idx[k,i] - i ∈ [-max_drift, +max_drift]. TPU gathers run at a few
     # tens of M elements/s; 2·max_drift shifted wheres are ~100× faster.
+    #
+    # Triangular pruning: |drift[k,i]| = |trunc(i·pf) - i| ≤ i·mc + 1
+    # where mc = max|pf-1| ≤ (max_drift-2)/256 by construction of
+    # contour_drift (device.derive_dims), so shift delta can only hit
+    # columns i ≥ (|delta|-1)/mc. Each delta's select runs on the static
+    # column suffix [i0(delta), FR) rounded down to the 128-lane tile —
+    # ~30% less select work, exact same result. The delta+1 slice is
+    # reused as the next iteration's delta slice (b reads win[idx+1]).
     D = max_drift
+    mcb = max((D - 2) / 256.0, 1e-6)
     wpad = jnp.concatenate([jnp.zeros((K, D), F32), win], axis=1)  # [K,512+D]
     drift = idx - i[None, :]
     a = jnp.zeros((K, FR), F32)
     b = jnp.zeros((K, FR), F32)
+    w_prev = lax.slice(wpad, (0, 0), (K, FR))  # delta = -D
     for delta in range(-D, D + 1):
-        w_d = lax.slice(wpad, (0, D + delta), (K, D + delta + FR))
+        w_d = w_prev
         w_d1 = lax.slice(wpad, (0, D + delta + 1), (K, D + delta + 1 + FR))
-        hit = drift == delta
-        a = jnp.where(hit, w_d, a)
-        b = jnp.where(hit, w_d1, b)
+        w_prev = w_d1
+        i0 = 0 if delta == 0 else int((abs(delta) - 1) / mcb)
+        i0 = (i0 // 128) * 128
+        if i0 >= FR:
+            continue
+        sl_hit = drift[:, i0:] == delta
+        a = a.at[:, i0:].set(jnp.where(sl_hit, w_d[:, i0:], a[:, i0:]))
+        b = b.at[:, i0:].set(jnp.where(sl_hit, w_d1[:, i0:], b[:, i0:]))
     # Reads past the segment end substitute 0 (matching the oracle's
     # handling of the reference's heap overread).
     a = jnp.where(pos[:, None] + idx < count, a, F32(0.0))

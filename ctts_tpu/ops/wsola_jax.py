@@ -123,7 +123,8 @@ def time_stretch_device(
     """Stretch inp[:input_count] by `speed` (with static synthesis hop
     `hop` = synthesis_hop_for_speed(speed)); returns (out, out_len).
 
-    `out_size` must be ≥ 2 * len(inp) + 2048 (worst case speed 0.5).
+    `out_size` must be ≥ num_frames * hop + FRAME + 1024 for the bucket's
+    hop (device._omax_for sizes it; ≈ 2·len(inp) only at speed 0.5).
     When |speed-1| < 0.01 the input is passed through (ctts.c:3497-3503).
     """
     S = inp.shape[0]

@@ -78,15 +78,19 @@ class PlanDims:
     stretch: bool    # speed != 1.0: compile the WSOLA branch, OMAX > SMAX
     synth_hop: int   # static WSOLA synthesis hop (0 when not stretching)
     contour_drift: int  # ceil(256 * max_pitch_change) + 2 (resample bound)
-    pallas_compose: bool = False  # roll-based Pallas compose kernel
-    # exact_compose (default): single scan with in-step boundary DSP —
-    # each boundary's analysis window includes prior units' head mods,
-    # matching the C exactly. False = two light compose passes with
-    # batched boundary DSP in between; measured no faster (the pitch
-    # convolutions, not the scan, dominate) and its windows miss prior
-    # head mods, which flips pitch decisions whenever a unit is shorter
-    # than ~2.7 crossfades (common at crossfade_vowel_ms=45) — up to
-    # 0.07 max-abs local divergence. Kept for experimentation only.
+    # compose_refine (default): fixed-point two-pass compose — light
+    # placement scans with ALL boundary DSP batched (one U-wide grouped
+    # pitch conv per trip instead of one conv per scan step), iterated
+    # until the modified unit heads are bit-stable. Head dependencies are
+    # strictly causal (unit k's analysis window sees only units j<k), so
+    # the iteration converges to exactly the sequential scan's result in
+    # chain-depth+1 trips (typically 2). False falls back to the in-step
+    # scan (exact_compose) below.
+    compose_refine: bool = True
+    # exact_compose: single scan with in-step boundary DSP — each
+    # boundary's analysis window includes prior units' head mods,
+    # matching the C exactly but serializing one pitch conv per unit
+    # slot. The reference semantics ground truth for the refine path.
     exact_compose: bool = True
 
 
@@ -99,6 +103,22 @@ def _next_pow2(x: int, lo: int) -> int:
     while n < x:
         n *= 2
     return n
+
+
+def _omax_for(smax: int, stretch: bool, synth_hop: int) -> int:
+    """WSOLA output-buffer width for a bucket. Hop-aware: the output can
+    hold at most num_frames·synth_hop + FRAME samples where num_frames ≤
+    smax/128, so speed>1 buckets (hop<128) get buffers *smaller* than
+    SMAX instead of the old worst-case 2·SMAX — shrinking the OLA scan
+    carries and the device→host transfer ~3× at speed 1.5."""
+    if not stretch:
+        return smax
+    omax = _roundup((smax // 128 + 2) * max(synth_hop, 1) + 512 + 2048)
+    # Speeds in (0.99, 1.01) (hop 126-129) pass the input through
+    # unstretched (ctts.c:3497-3503) — the buffer must hold SMAX.
+    if synth_hop >= 126:
+        omax = max(omax, _roundup(smax + 2048))
+    return omax
 
 
 def bucket_dims(d: PlanDims, floor: Optional[dict] = None) -> PlanDims:
@@ -118,7 +138,7 @@ def bucket_dims(d: PlanDims, floor: Optional[dict] = None) -> PlanDims:
         CONTW=min(_next_pow2(max(d.CONTW, floor.get("CONTW", 0)), 4096),
                   wreg - d.MARGIN),
         SMAX=smax,
-        OMAX=(2 * smax + 4096) if d.stretch else smax,
+        OMAX=_omax_for(smax, d.stretch, d.synth_hop),
     )
 
 
@@ -336,7 +356,7 @@ def derive_dims(w: WalkedPlan, db: VoiceDatabase) -> PlanDims:
         WIN=w.win,
         CFMAX=w.cfmax,
         SMAX=smax,
-        OMAX=_roundup(2 * smax + 2048) if w.stretch else smax,
+        OMAX=_omax_for(smax, w.stretch, w.synth_hop),
         CONTW=min(_next_pow2(max(w.max_region_len, 1024), 1024),
                   _roundup(w.margin + w.max_region_len + bank_w + w.cfmax,
                            1024) - w.margin),
@@ -732,26 +752,52 @@ def build_core(dims: PlanDims, ubuf: int, stage: str = "full"):
             bufs0 = jnp.zeros((dims.R, dims.WREG), F32)
             return lax.scan(step, bufs0, jnp.arange(dims.U))
 
-        if dims.pallas_compose:
-            from ctts_tpu.ops.pallas.compose import make_compose_single
-
-            interp = jax.default_backend() != "tpu"
-            compose_a = make_compose_single(
-                dims.U, dims.WREG, ubuf, CFMAX, WIN, True, interp
-            )
-            compose_b = make_compose_single(
-                dims.U, dims.WREG, ubuf, CFMAX, WIN, False, interp
-            )
+        if stage == "contrib":
             contrib, fo = prepare_contrib(bank, bank_lens, gains, ar, None)
-            _, windows = compose_a(
-                ar["region_ustart"], ar["region_ucount"], ar["unit_off"],
-                ar["unit_cf_in"], ar["_unit_n"], contrib, fo,
-            )
-            heads = boundary_heads(bank, bank_lens, gains, ar, windows)
-            contrib, fo = prepare_contrib(bank, bank_lens, gains, ar, heads)
-            bufs, _ = compose_b(
-                ar["region_ustart"], ar["region_ucount"], ar["unit_off"],
-                ar["unit_cf_in"], ar["_unit_n"], contrib, fo,
+            return _ck(contrib)
+
+        if dims.compose_refine:
+            # Fixed-point compose: trip = compose with current heads →
+            # re-derive heads from the exported analysis windows. Unit
+            # 0's head is correct after one trip and stable; inductively
+            # every unit at head-mod chain depth d is correct after d+1
+            # trips, so bit-stable heads ⇒ the just-composed bufs equal
+            # the sequential scan's output exactly.
+            def base_head(k):
+                uid_c = jnp.maximum(ar["unit_id"][k], 0)
+                return q16(bank[uid_c][:CFMAX] * gains[uid_c])
+
+            heads0 = jax.vmap(base_head)(jnp.arange(dims.U))
+            bufs0 = jnp.zeros((dims.R, dims.WREG), F32)
+
+            if stage == "compose1":
+                # One fixed-point trip (profiling: trip cost vs count).
+                contrib, fo = prepare_contrib(bank, bank_lens, gains, ar,
+                                              heads0)
+                bufs_1, windows = compose_scan(contrib, fo, True)
+                heads_1 = boundary_heads(bank, bank_lens, gains, ar,
+                                         windows)
+                return _ck(bufs_1 + jnp.sum(heads_1))
+
+            def r_cond(carry):
+                _, changed, _, it = carry
+                return ((it == 0) | changed) & (it < dims.U + 2)
+
+            def r_body(carry):
+                heads, _, _, it = carry
+                contrib, fo = prepare_contrib(
+                    bank, bank_lens, gains, ar, heads
+                )
+                bufs_i, windows = compose_scan(contrib, fo, True)
+                new_heads = boundary_heads(
+                    bank, bank_lens, gains, ar, windows
+                )
+                changed = jnp.any(new_heads != heads)
+                return new_heads, changed, bufs_i, it + 1
+
+            _, _, bufs, _ = lax.while_loop(
+                r_cond, r_body,
+                (heads0, jnp.array(False), bufs0, jnp.int32(0)),
             )
         elif dims.exact_compose:
             bufs0 = jnp.zeros((dims.R, dims.WREG), F32)
@@ -840,15 +886,18 @@ def build_core(dims: PlanDims, ubuf: int, stage: str = "full"):
         if stage == "move":
             return _ck(bufs)
 
-        # 2c: contour + energy + fades (vmapped).
-        def region_dsp(row, count, do_dsp, contour, qfinal,
-                       energy_on, fade_after):
+        # 2c: contour + energy + fades. The rise segment (c1) runs vmapped
+        # over all regions; the interrogative-final *fall* segment (c2)
+        # applies to at most the final word region of a question, so a
+        # while_loop walks only those regions — a batch with no questions
+        # pays zero trips instead of a second full [R]-wide contour pass
+        # (0.25 s/batch in the round-2 profile).
+        def region_c1(row, count, do_dsp, contour, qfinal):
             head = row[:MARGIN]
             content = row[MARGIN:MARGIN + dims.CONTW]
             rest = row[MARGIN + dims.CONTW:]
 
-            ws, we, peak, es, ee = (contour[0], contour[1], contour[2],
-                                    contour[3], contour[4])
+            ws, we, peak = contour[0], contour[1], contour[2]
             rise = (count.astype(F32) * F32(0.6)).astype(jnp.int32)
             use_split = qfinal & (rise > 100) & (count - rise > 100)
 
@@ -858,9 +907,51 @@ def build_core(dims: PlanDims, ubuf: int, stage: str = "full"):
             c1 = dops.contour_segment(content, 0, dsp_len1,
                                       ws, seg1_end, max_frames,
                                       dims.contour_drift)
-            seg2_len = jnp.where(do_dsp & use_split, count - rise, 0)
-            content = dops.contour_segment(c1, rise, seg2_len, peak, we,
-                                           max_frames, dims.contour_drift)
+            return jnp.concatenate([head, c1, rest])
+
+        bufs = jax.vmap(region_c1)(
+            bufs, comp_lens, ar["region_do_dsp"],
+            ar["region_contour"], ar["region_qfinal"],
+        )
+
+        qf = (ar["region_qfinal"] & ar["region_do_dsp"]
+              & ar["region_active"])
+        ridx = jnp.arange(dims.R)
+        qfirst = jnp.min(jnp.where(qf, ridx, dims.R))
+        qlast = jnp.max(jnp.where(qf, ridx, -1))
+
+        def q_cond(carry):
+            _, r = carry
+            return r <= qlast
+
+        def q_body(carry):
+            b, r = carry
+            rc = jnp.minimum(r, dims.R - 1)
+            row = b[rc]
+            content = row[MARGIN:MARGIN + dims.CONTW]
+            count = comp_lens[rc]
+            rise = (count.astype(F32) * F32(0.6)).astype(jnp.int32)
+            use_split = (rise > 100) & (count - rise > 100)
+            seg2_len = jnp.where(use_split, count - rise, 0)
+            peak = ar["region_contour"][rc, 2]
+            we = ar["region_contour"][rc, 1]
+            c2 = dops.contour_segment(content, rise, seg2_len, peak, we,
+                                      max_frames, dims.contour_drift)
+            # Guard against revisits after this sentence's own last
+            # qfinal region (vmap runs the loop to the batch max).
+            newc = jnp.where(qf[rc] & (r <= qlast), c2, content)
+            new_row = jnp.concatenate(
+                [row[:MARGIN], newc, row[MARGIN + dims.CONTW:]]
+            )
+            return lax.dynamic_update_slice(b, new_row[None], (rc, 0)), r + 1
+
+        bufs, _ = lax.while_loop(q_cond, q_body, (bufs, qfirst))
+
+        def region_post(row, count, do_dsp, contour, energy_on, fade_after):
+            head = row[:MARGIN]
+            content = row[MARGIN:MARGIN + dims.CONTW]
+            rest = row[MARGIN + dims.CONTW:]
+            es, ee = contour[3], contour[4]
 
             # Energy ramp (ctts.c:2841-2865); gated by the whole-function
             # count >= 100 check (ctts.c:2740).
@@ -877,9 +968,9 @@ def build_core(dims: PlanDims, ubuf: int, stage: str = "full"):
             )
             return jnp.concatenate([head, content, rest])
 
-        bufs = jax.vmap(region_dsp)(
+        bufs = jax.vmap(region_post)(
             bufs, comp_lens, ar["region_do_dsp"],
-            ar["region_contour"], ar["region_qfinal"], ar["region_energy"],
+            ar["region_contour"], ar["region_energy"],
             ar["region_fade_after"],
         )
         if stage == "contour":
@@ -935,14 +1026,12 @@ def _compiled_core(dims: PlanDims, ubuf: int):
 
 def execute_plan_jax(plan: SynthesisPlan, db: VoiceDatabase,
                      voice: Optional[DeviceVoice] = None,
-                     bucket: bool = True,
-                     pallas_compose: bool = False) -> np.ndarray:
+                     bucket: bool = True) -> np.ndarray:
     """Single-sentence convenience entry: lower, run, trim, int16."""
     if voice is None:
         voice = DeviceVoice(db, plan.target_rms)
     w = walk_plan(plan, db)
-    dims = dataclasses.replace(derive_dims(w, db),
-                               pallas_compose=pallas_compose)
+    dims = derive_dims(w, db)
     if bucket:
         dims = bucket_dims(dims)
     dplan = fill_device_plan(w, db, dims)

@@ -51,20 +51,44 @@ def test_device_matches_oracle(voice_db, voice, text, speed):
     assert diff.max() <= 2, f"max diff {diff.max()} at {np.argmax(diff)}"
 
 
-def test_pallas_compose_matches_oracle(voice_db, voice):
-    """The roll-based Pallas compose kernel (interpret mode on CPU) must
-    match the oracle like the scan path does."""
-    from ctts_tpu.synth.device import execute_plan_jax
+def test_compose_refine_matches_scan(voice_db, voice):
+    """The fixed-point two-pass compose (default) must match the in-step
+    scan compose — including texts whose short units chain head mods
+    across more than one crossfade. The compose outputs are numerically
+    identical (same HLO math; verified via stage checksums), but XLA
+    fuses the *downstream* stages differently around the two program
+    shapes, which can shift non-decision rounding by 1 LSB — hence the
+    ≤1 LSB budget instead of bit-equality. Decision flips would show as
+    much larger localized diffs."""
+    import dataclasses
+
+    from ctts_tpu.synth.device import (
+        bucket_dims, build_core, build_device_plan, derive_dims, walk_plan,
+    )
+    import jax
+    import jax.numpy as jnp
 
     db = VoiceDatabase(voice_db)
     config = config_defaults()
-    for text in ("como vai", "como se chama?"):
+    texts = ("como vai", "como se chama?", "paralelepípedo",
+             "a e i o u", "bracadabra")
+    for text in texts:
         plan = compile_plan(db, text, config, None, 1.0)
-        ref = execute_plan_oracle(plan, db)
-        out = execute_plan_jax(plan, db, voice, pallas_compose=True)
-        assert ref.shape[0] == out.shape[0]
-        diff = np.abs(ref.astype(np.int32) - out.astype(np.int32))
-        assert diff.max() <= 2, f"{text}: max diff {diff.max()}"
+        w = walk_plan(plan, db)
+        dims = bucket_dims(derive_dims(w, db))
+        outs = {}
+        for refine in (False, True):
+            d = dataclasses.replace(dims, compose_refine=refine)
+            dplan = build_device_plan(plan, db, d)
+            core = jax.jit(build_core(d, voice.ubuf))
+            arrays = {k: jnp.asarray(v) for k, v in dplan.arrays.items()}
+            out, out_len, _ = core(voice.bank, voice.lengths, voice.gains,
+                                   arrays)
+            outs[refine] = np.asarray(out[: int(out_len)])
+        assert outs[True].shape == outs[False].shape, text
+        diff = np.abs(outs[True].astype(np.int32)
+                      - outs[False].astype(np.int32))
+        assert diff.max() <= 1, f"{text}: max diff {diff.max()}"
 
 
 def test_device_shipped_config(voice_db, voice):
@@ -108,6 +132,30 @@ def test_batched_sharded_synthesis(voice_db):
         assert ref.shape[0] == out.shape[0], t
         diff = np.abs(ref.astype(np.int32) - out.astype(np.int32))
         assert diff.max() <= 2, f"{t}: max diff {diff.max()}"
+
+
+def test_stream_matches_synthesize(voice_db):
+    """The pipelined serving loop (stream) must yield, per input batch,
+    exactly what synthesize returns — same order, same samples — across
+    multiple batches (the pipeline holds batch N while dispatching N+1,
+    so ordering/handle mix-ups would show here)."""
+    from ctts_tpu.parallel.batch import BatchSynthesizer
+
+    db = VoiceDatabase(voice_db)
+    config = config_defaults()
+    bs = BatchSynthesizer(db, config)
+
+    batches = [["como vai", "bom dia. tudo bem."],
+               ["que legal", "a rosa"],
+               ["vamos", "oi"]]
+    got = list(bs.stream(iter(batches)))
+    assert len(got) == len(batches)
+    for texts, outs in zip(batches, got):
+        want = bs.synthesize(texts)
+        assert len(outs) == len(want)
+        for t, o, w in zip(texts, outs, want):
+            assert o.shape == w.shape, t
+            assert np.array_equal(o, w), t
 
 
 def test_silence_table_overflow_graceful():

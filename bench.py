@@ -119,7 +119,7 @@ def main() -> None:
     config = config_defaults()
     # One dims bucket for the whole corpus → a single XLA compilation.
     floor = {"U": 32, "R": 16, "FD": 8, "WREG": 32768, "SMAX": 131072,
-             "CONTW": 16384}
+             "CONTW": 32768, "WIN": 2048, "CFMAX": 1024}
     bs = BatchSynthesizer(db, config, mesh=mesh, dims_floor=floor)
 
     # Batch 64 fits the v5e's 16 GB HBM with the current buffer sizing

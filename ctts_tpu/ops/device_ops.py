@@ -426,6 +426,30 @@ def contour_segment(
     return merged[:W]
 
 
+def tail_fade_window(buf: jnp.ndarray, end: jnp.ndarray,
+                     fade_len: jnp.ndarray, W2: int) -> jnp.ndarray:
+    """apply_fade_out on buf[..end) like tail_fade, but with the LUT
+    lookup confined to a static W2-wide window ending at `end` (the
+    full-width lookup gathered B*R*CONTW elements per batch). Requires
+    W2 ≥ the clamped fade length (callers size W2 from the batch's max
+    fade — device.PlanDims.FADE2W)."""
+    i2 = jnp.arange(W2)
+    fade = jnp.minimum(jnp.minimum(fade_len, end), W2)
+    start = end - fade
+    woff = jnp.maximum(end - W2, 0)
+    win = lax.dynamic_slice(buf, (woff,), (W2,))
+    ia = woff + i2                      # absolute positions
+    rel = (ia - start).astype(F32)
+    t = (fade.astype(F32) - rel) * (
+        F32(1.0) / jnp.maximum(fade, 1).astype(F32)
+    )
+    gain = sine_fade_gain(t)
+    faded = trunc16(win * gain)
+    in_fade = (ia >= start) & (ia < end) & (fade > 0)
+    win = jnp.where(in_fade, faded, win)
+    return lax.dynamic_update_slice(buf, win, (woff,))
+
+
 def tail_fade(buf: jnp.ndarray, end: jnp.ndarray, fade_len: jnp.ndarray) -> jnp.ndarray:
     """apply_fade_out on buf[..end) (ctts.c:3028-3039), clamping the fade
     to the available content like the C (fade_samples > count → count)."""
@@ -442,9 +466,24 @@ def tail_fade(buf: jnp.ndarray, end: jnp.ndarray, fade_len: jnp.ndarray) -> jnp.
     return jnp.where(in_fade, faded, buf)
 
 
-def head_fade_in(x: jnp.ndarray, fade_len: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
-    """apply_fade_in over x[:min(fade_len, n)] (ctts.c:3015-3025)."""
-    i = jnp.arange(x.shape[0])
+def head_fade_in(x: jnp.ndarray, fade_len, n: jnp.ndarray) -> jnp.ndarray:
+    """apply_fade_in over x[:min(fade_len, n)] (ctts.c:3015-3025).
+
+    With a static (python int) `fade_len`, the LUT lookup — a gather —
+    runs only on a 128-aligned head window instead of the full unit
+    width (the full-width lookup was ~15M gathered elements per compose
+    trip at batch 64)."""
+    W = x.shape[0]
+    if isinstance(fade_len, int) and fade_len * 2 <= W:
+        FW = min(-(-fade_len // 128) * 128, W)
+        head = x[:FW]
+        i = jnp.arange(FW)
+        fade = jnp.minimum(fade_len, n)
+        t = i.astype(F32) * (F32(1.0) / jnp.maximum(fade, 1).astype(F32))
+        faded = trunc16(head * sine_fade_gain(t))
+        head = jnp.where((i < fade) & (fade > 0), faded, head)
+        return jnp.concatenate([head, x[FW:]])
+    i = jnp.arange(W)
     fade = jnp.minimum(fade_len, n)
     t = i.astype(F32) * (F32(1.0) / jnp.maximum(fade, 1).astype(F32))
     gain = sine_fade_gain(t)

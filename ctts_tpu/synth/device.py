@@ -48,7 +48,7 @@ from ctts_tpu.constants import SAMPLE_RATE
 from ctts_tpu.db.reader import VoiceDatabase
 from ctts_tpu.ops import device_ops as dops
 from ctts_tpu.ops.luts import fade_in_gain, fade_out_gain
-from ctts_tpu.ops.quant import q16, trunc16
+from ctts_tpu.ops.quant import q16, trunc16, wrap16
 from ctts_tpu.ops.wsola_jax import time_stretch_device
 from ctts_tpu.plan.compiler import OpKind, SynthesisPlan
 from ctts_tpu.text.prosody import PhraseType
@@ -78,6 +78,7 @@ class PlanDims:
     stretch: bool    # speed != 1.0: compile the WSOLA branch, OMAX > SMAX
     synth_hop: int   # static WSOLA synthesis hop (0 when not stretching)
     contour_drift: int  # ceil(256 * max_pitch_change) + 2 (resample bound)
+    FADE2W: int = 128  # region tail-fade window width (≥ max fade_after)
     # compose_refine (default): fixed-point two-pass compose — light
     # placement scans with ALL boundary DSP batched (one U-wide grouped
     # pitch conv per trip instead of one conv per scan step), iterated
@@ -128,17 +129,31 @@ def bucket_dims(d: PlanDims, floor: Optional[dict] = None) -> PlanDims:
     corpus lands in one bucket."""
     floor = floor or {}
     smax = _next_pow2(max(d.SMAX, floor.get("SMAX", 0)), 16384)
-    wreg = _next_pow2(max(d.WREG, floor.get("WREG", 0)), 16384)
+    # WIN/CFMAX derive from the plan's max crossfade, so short sentences
+    # would otherwise land in their own buckets (MARGIN differs) and
+    # fragment a batch into serial dispatches. Widening them is safe:
+    # every analysis window / crossfade op masks by the actual lengths.
+    win_b = _next_pow2(max(d.WIN, floor.get("WIN", 1024)), 1024)
+    cfmax_b = _next_pow2(max(d.CFMAX, floor.get("CFMAX", 1024)), 1024)
+    margin_b = win_b + cfmax_b
+    # The row must still hold the (possibly larger) margin + content.
+    wreg = _next_pow2(
+        max(d.WREG, floor.get("WREG", 0), margin_b + d.CONTW), 16384
+    )
     return dataclasses.replace(
         d,
         U=_next_pow2(max(d.U, floor.get("U", 0)), 8),
         R=_next_pow2(max(d.R, floor.get("R", 0)), 4),
+        WIN=win_b,
+        CFMAX=cfmax_b,
+        MARGIN=margin_b,
         FD=_next_pow2(max(d.FD, floor.get("FD", 0)), 4),
         WREG=wreg,
         CONTW=min(_next_pow2(max(d.CONTW, floor.get("CONTW", 0)), 4096),
-                  wreg - d.MARGIN),
+                  wreg - margin_b),
         SMAX=smax,
         OMAX=_omax_for(smax, d.stretch, d.synth_hop),
+        FADE2W=_next_pow2(max(d.FADE2W, floor.get("FADE2W", 0)), 128),
     )
 
 
@@ -241,6 +256,7 @@ class WalkedPlan:
     total_len: int
     stretch: bool
     synth_hop: int
+    refine_trips: int = 0  # head-mod chain depth (fixed-point bodies)
 
 
 def walk_plan(plan: SynthesisPlan, db: VoiceDatabase) -> WalkedPlan:
@@ -328,6 +344,34 @@ def walk_plan(plan: SynthesisPlan, db: VoiceDatabase) -> WalkedPlan:
 
     max_region_len = max([r["len"] for r in regions] + [1])
 
+    # Head-mod chain depth (static): the fixed-point compose needs
+    # depth_k bodies before unit k's head is final. Only boundary-DSP
+    # units (smooth & boundary>0) ever change their head across trips;
+    # crossfade mixing is in-scan sequential and therefore exact within
+    # each trip given correct heads. A modifying unit j perturbs
+    # [off_j, off_j + m_j) (its mix + energy + pitch-shift reach); unit
+    # k's analysis window is [off_k + cf_k - win, off_k + cf_k) in the
+    # same region, so depth_k = 1 + max depth of modifying units visible
+    # there. Conservative: runtime gates (`voiced`, RMS floors) can only
+    # skip mods, never extend reach, so the trip count always suffices.
+    depth_by_region: dict = {}
+    refine_trips = 0
+    for u in units:
+        modifies = u["smooth"] and u["boundary"] > 0
+        m = max(u["cf_in"], u["boundary_len"], u["shift_region"])
+        lo = u["off"] + u["cf_in"] - win
+        hi = u["off"] + u["cf_in"]
+        d = 0
+        if modifies:
+            d = 1
+            for off_j, m_j, d_j in depth_by_region.get(u["region"], []):
+                if d_j > 0 and off_j + m_j > lo and off_j < hi:
+                    d = max(d, 1 + d_j)
+        depth_by_region.setdefault(u["region"], []).append(
+            (u["off"], m, d)
+        )
+        refine_trips = max(refine_trips, d)
+
     from ctts_tpu.ops.wsola_jax import synthesis_hop_for_speed
 
     stretch = bool(np.float32(plan.speed) != np.float32(1.0))
@@ -337,7 +381,7 @@ def walk_plan(plan: SynthesisPlan, db: VoiceDatabase) -> WalkedPlan:
         plan=plan, units=units, regions=regions, fades=fades,
         cf_max=cf_max, margin=margin, win=win, cfmax=cfmax,
         max_region_len=max_region_len, total_len=total_len,
-        stretch=stretch, synth_hop=synth_hop,
+        stretch=stretch, synth_hop=synth_hop, refine_trips=refine_trips,
     )
 
 
@@ -362,6 +406,9 @@ def derive_dims(w: WalkedPlan, db: VoiceDatabase) -> PlanDims:
                            1024) - w.margin),
         FADEW=min(_roundup(max([f[2] for f in w.fades] + [1]), 128),
                   w.margin),
+        FADE2W=_next_pow2(
+            max([r["fade_after"] for r in w.regions] + [1]), 128
+        ),
         fade_in_samples=w.plan.fade_in_samples,
         min_silence_samples=w.plan.min_silence_samples,
         remove_dc=bool(cfg.remove_dc_offset),
@@ -466,6 +513,7 @@ def fill_device_plan(w: WalkedPlan, db: VoiceDatabase,
 
     a["threshold"] = np.float32(cfg.silence_threshold)
     a["speed"] = np.float32(plan.speed)
+    a["refine_trips"] = np.int32(w.refine_trips)
 
     return DevicePlan(dims=dims, arrays=a, speed=plan.speed)
 
@@ -615,15 +663,46 @@ def build_core(dims: PlanDims, ubuf: int, stage: str = "full"):
 
         return unit_step
 
-    def prepare_contrib(bank, bank_lens, gains, ar, heads):
-        """Per-unit contribution [U, UBUF] + fade-out curves [U, CFMAX]:
-        everything the compose placement needs except the crossfade mix
-        itself. `heads` (pass B) substitutes boundary-modified heads."""
+    def prepare_base(bank, bank_lens, gains, ar):
+        """One-time materialization of every unit slot's raw gained audio
+        base[k] = q16(bank[uid_k] * gains[uid_k]) [U, UBUF], plus the
+        trip-invariant crossfade fade-out curves fo [U, CFMAX].
+
+        The row pick is a one-hot matmul on the MXU instead of a
+        batch-varying row gather (the round-2 profile's single largest
+        cost: 0.25 s/trip at batch 64, re-paid every fixed-point trip).
+        Exactness: hi/lo split halves are bf16-exact and each output
+        element has exactly one nonzero product, so any precision/order
+        reproduces q16(bank*gain) bit-for-bit."""
+        from ctts_tpu.ops.exact import split_hi_lo
+
+        uid = jnp.maximum(ar["unit_id"], 0)                    # [U]
+        onehot = (uid[:, None] ==
+                  jnp.arange(bank.shape[0])[None, :]).astype(F32)
+        bh, bl = split_hi_lo(bank)
+        x = (F32(256.0) * (onehot @ bh) + onehot @ bl)         # [U, UBUF]
+        # gains are arbitrary f32 (0.1..3.0) — a one-hot matmul would
+        # ride bf16 and round them; a [U]-scalar gather is trivial.
+        g = gains[uid]
+        base = q16(x * g[:, None])
+
+        it = jnp.arange(CFMAX)
+        tmix = it[None, :].astype(F32) * (
+            F32(1.0) / jnp.maximum(ar["unit_cf_in"], 1).astype(F32)[:, None]
+        )
+        # Both crossfade gain curves are trip-invariant; hoisting them
+        # keeps the LUT gathers out of the fixed-point loop.
+        return base, fade_out_gain(tmix), fade_in_gain(tmix)
+
+    def prepare_contrib(base, fo, fi, ar, heads):
+        """Per-unit contribution [U, UBUF]: base with (optionally) the
+        boundary-modified head substituted, DC-removed, head-faded /
+        crossfade-weighted, and length-masked. Elementwise only — safe to
+        re-run every fixed-point trip."""
 
         def one(k):
-            uid_c = jnp.maximum(ar["unit_id"][k], 0)
-            n = bank_lens[uid_c]
-            x = q16(bank[uid_c] * gains[uid_c])
+            n = ar["_unit_n"][k]
+            x = base[k]
             if heads is not None:
                 x = jnp.concatenate([heads[k], x[CFMAX:]])
             if dims.remove_dc:
@@ -634,27 +713,22 @@ def build_core(dims: PlanDims, ubuf: int, stage: str = "full"):
             )
             cf_in = ar["unit_cf_in"][k]
             iu = jnp.arange(ubuf)
-            it = jnp.arange(CFMAX)
-            tmix = it.astype(F32) * (
-                F32(1.0) / jnp.maximum(cf_in, 1).astype(F32)
-            )
-            head_fi = x[:CFMAX] * fade_in_gain(tmix)
+            head_fi = x[:CFMAX] * fi[k]
             x = jnp.where((iu < cf_in) & (~fade_in),
                           jnp.pad(head_fi, (0, ubuf - CFMAX)), x)
             x = jnp.where((iu < n) & (ar["unit_id"][k] >= 0), x, F32(0.0))
-            return x, fade_out_gain(tmix)
+            return x
 
         return jax.vmap(one)(jnp.arange(dims.U))
 
-    def boundary_heads(bank, bank_lens, gains, ar, windows):
+    def boundary_heads(base, ar, windows):
         """Batched boundary DSP (smooth_pitch_boundary +
-        match_boundary_energy) from pass-A analysis windows."""
+        match_boundary_energy) from pass-A analysis windows. Operates on
+        the precomputed base heads — no bank access."""
 
         def one(k, win):
-            uid_c = jnp.maximum(ar["unit_id"][k], 0)
-            n = bank_lens[uid_c]
-            x = q16(bank[uid_c] * gains[uid_c])
-            head = x[:CFMAX]
+            n = ar["_unit_n"][k]
+            head = base[k][:CFMAX]
             it = jnp.arange(CFMAX)
 
             analysis = ar["unit_analysis"][k]
@@ -703,112 +777,106 @@ def build_core(dims: PlanDims, ubuf: int, stage: str = "full"):
         return jax.vmap(one)(jnp.arange(dims.U), windows)
 
     def core(bank, bank_lens, gains, ar):
-        # Per-unit pitch of the unit head is independent of composition —
-        # hoist it out of the sequential scan (vectorized over slots).
-        def head_pitch(k):
-            uid_c = jnp.maximum(ar["unit_id"][k], 0)
-            x = q16(bank[uid_c] * gains[uid_c])
-            return dops.estimate_pitch_head(x, ar["unit_analysis"][k])
-
-        next_pitches = jax.vmap(head_pitch)(jnp.arange(dims.U))
-        if stage == "head_pitch":
-            return _ck(next_pitches)
         ar = dict(ar)
-        ar["_next_pitch"] = next_pitches
-
         ar["_unit_n"] = jnp.where(
             ar["unit_id"] >= 0,
             bank_lens[jnp.maximum(ar["unit_id"], 0)], 0
         ).astype(jnp.int32)
 
+        base, fo, fi = prepare_base(bank, bank_lens, gains, ar)
+
+        # Per-unit pitch of the unit head is independent of composition —
+        # hoist it out of the sequential scan (vectorized over slots).
+        next_pitches = jax.vmap(
+            lambda k: dops.estimate_pitch_head(base[k],
+                                               ar["unit_analysis"][k])
+        )(jnp.arange(dims.U))
+        if stage == "head_pitch":
+            return _ck(next_pitches)
+        ar["_next_pitch"] = next_pitches
+
         def compose_scan(contrib, fo, export_windows):
             """Light placement scan: crossfade-mix + write per unit slot
             (contributions fully prepared); optionally export each unit's
-            pre-merge analysis window."""
-            it = jnp.arange(CFMAX)
+            pre-merge analysis window.
+
+            The region buffers are FLAT ([R*WREG]) inside the scan: a 2-D
+            `bufs[r]` with a batch-varying r gathers the whole 32k-wide
+            row per step; flat offsets slice only the windows actually
+            touched. Writes stay in-row: derive_dims guarantees
+            off + UBUF ≤ MARGIN + region_len + bank_w ≤ WREG."""
             iu = jnp.arange(ubuf)
 
-            def step(bufs, k):
+            def step(flat, k):
                 active = ar["unit_id"][k] >= 0
-                r = ar["unit_region"][k]
-                off = ar["unit_off"][k]
+                base_off = (ar["unit_region"][k] * dims.WREG
+                            + ar["unit_off"][k])
                 cf = ar["unit_cf_in"][k]
                 n = ar["_unit_n"][k]
                 x = contrib[k]
                 if export_windows:
                     win = lax.dynamic_slice(
-                        bufs[r], (off + cf - WIN,), (WIN,)
+                        flat, (base_off + cf - WIN,), (WIN,)
                     )
                 else:
                     win = jnp.zeros((), F32)
-                tail = lax.dynamic_slice(bufs[r], (off,), (CFMAX,))
+                tail = lax.dynamic_slice(flat, (base_off,), (CFMAX,))
                 mixed = q16(trunc16(tail * fo[k] + x[:CFMAX]))
                 x = jnp.where(iu < cf, jnp.pad(mixed, (0, ubuf - CFMAX)), x)
-                cur = lax.dynamic_slice(bufs[r], (off,), (ubuf,))
+                cur = lax.dynamic_slice(flat, (base_off,), (ubuf,))
                 neww = jnp.where((iu < n) & active, x, cur)
-                bufs = lax.dynamic_update_slice(bufs, neww[None, :], (r, off))
-                return bufs, win
+                flat = lax.dynamic_update_slice(flat, neww, (base_off,))
+                return flat, win
 
-            bufs0 = jnp.zeros((dims.R, dims.WREG), F32)
-            return lax.scan(step, bufs0, jnp.arange(dims.U))
+            flat0 = jnp.zeros(dims.R * dims.WREG, F32)
+            flat, wins = lax.scan(step, flat0, jnp.arange(dims.U))
+            return flat.reshape(dims.R, dims.WREG), wins
 
         if stage == "contrib":
-            contrib, fo = prepare_contrib(bank, bank_lens, gains, ar, None)
+            contrib = prepare_contrib(base, fo, fi, ar, None)
             return _ck(contrib)
 
         if dims.compose_refine:
-            # Fixed-point compose: trip = compose with current heads →
-            # re-derive heads from the exported analysis windows. Unit
-            # 0's head is correct after one trip and stable; inductively
-            # every unit at head-mod chain depth d is correct after d+1
-            # trips, so bit-stable heads ⇒ the just-composed bufs equal
-            # the sequential scan's output exactly.
-            def base_head(k):
-                uid_c = jnp.maximum(ar["unit_id"][k], 0)
-                return q16(bank[uid_c][:CFMAX] * gains[uid_c])
-
-            heads0 = jax.vmap(base_head)(jnp.arange(dims.U))
-            bufs0 = jnp.zeros((dims.R, dims.WREG), F32)
+            # Fixed-point compose: body = compose with current heads →
+            # re-derive heads from the exported analysis windows. Head
+            # dependencies are causal, so a unit at head-mod chain depth
+            # d has its final head after d bodies; the host computes the
+            # batch's max depth statically (walk_plan) and passes it as
+            # `refine_trips` — no convergence probe, no wasted trip. A
+            # final exportless scan then composes with the final heads.
+            heads0 = base[:, :CFMAX]
 
             if stage == "compose1":
                 # One fixed-point trip (profiling: trip cost vs count).
-                contrib, fo = prepare_contrib(bank, bank_lens, gains, ar,
-                                              heads0)
+                contrib = prepare_contrib(base, fo, fi, ar, heads0)
                 bufs_1, windows = compose_scan(contrib, fo, True)
-                heads_1 = boundary_heads(bank, bank_lens, gains, ar,
-                                         windows)
+                heads_1 = boundary_heads(base, ar, windows)
                 return _ck(bufs_1 + jnp.sum(heads_1))
 
             def r_cond(carry):
-                _, changed, _, it = carry
-                return ((it == 0) | changed) & (it < dims.U + 2)
+                _, it = carry
+                return it < ar["refine_trips"]
 
             def r_body(carry):
-                heads, _, _, it = carry
-                contrib, fo = prepare_contrib(
-                    bank, bank_lens, gains, ar, heads
-                )
-                bufs_i, windows = compose_scan(contrib, fo, True)
-                new_heads = boundary_heads(
-                    bank, bank_lens, gains, ar, windows
-                )
-                changed = jnp.any(new_heads != heads)
-                return new_heads, changed, bufs_i, it + 1
+                heads, it = carry
+                contrib = prepare_contrib(base, fo, fi, ar, heads)
+                _, windows = compose_scan(contrib, fo, True)
+                return boundary_heads(base, ar, windows), it + 1
 
-            _, _, bufs, _ = lax.while_loop(
-                r_cond, r_body,
-                (heads0, jnp.array(False), bufs0, jnp.int32(0)),
-            )
+            heads, _ = lax.while_loop(r_cond, r_body,
+                                      (heads0, jnp.int32(0)))
+            contrib = prepare_contrib(base, fo, fi, ar, heads)
+            bufs, _ = compose_scan(contrib, fo, False)
         elif dims.exact_compose:
             bufs0 = jnp.zeros((dims.R, dims.WREG), F32)
             bufs, _ = lax.scan(unit_step_fn(bank, bank_lens, gains, ar),
                                bufs0, jnp.arange(dims.U))
         else:
             # Two-pass XLA compose: light scans + batched boundary DSP.
-            contrib, fo = prepare_contrib(bank, bank_lens, gains, ar, None)
+            contrib = prepare_contrib(base, fo, fi, ar, None)
             _, windows = compose_scan(contrib, fo, True)
-            heads = boundary_heads(bank, bank_lens, gains, ar, windows)
-            contrib, fo = prepare_contrib(bank, bank_lens, gains, ar, heads)
+            heads = boundary_heads(base, ar, windows)
+            contrib = prepare_contrib(base, fo, fi, ar, heads)
             bufs, _ = compose_scan(contrib, fo, False)
         if stage == "compose":
             return _ck(bufs)
@@ -826,11 +894,11 @@ def build_core(dims: PlanDims, ubuf: int, stage: str = "full"):
         jf = jnp.arange(dims.FADEW)
 
         def fade_step(b, k):
+            # Flat offsets (2-D dynamic indices gather the whole row).
             pos = MARGIN + jnp.maximum(ar["fade_pos"][k], 0)
             flen = jnp.minimum(ar["fade_len"][k], pos)
-            r = ar["fade_region"][k]
-            win = lax.dynamic_slice(
-                b, (r, pos - dims.FADEW), (1, dims.FADEW))[0]
+            foff = (ar["fade_region"][k] * dims.WREG + pos - dims.FADEW)
+            win = lax.dynamic_slice(b, (foff,), (dims.FADEW,))
             rel = (jf - (dims.FADEW - flen)).astype(F32)
             t = (flen.astype(F32) - rel) * (
                 F32(1.0) / jnp.maximum(flen, 1).astype(F32)
@@ -839,10 +907,11 @@ def build_core(dims: PlanDims, ubuf: int, stage: str = "full"):
             active = (ar["fade_pos"][k] >= 0) & (flen > 0)
             in_fade = (jf >= dims.FADEW - flen) & active
             neww = jnp.where(in_fade, trunc16(win * gain), win)
-            return lax.dynamic_update_slice(
-                b, neww[None], (r, pos - dims.FADEW)), None
+            return lax.dynamic_update_slice(b, neww, (foff,)), None
 
-        bufs, _ = lax.scan(fade_step, bufs, jnp.arange(dims.FD))
+        bufs_flat, _ = lax.scan(fade_step, bufs.reshape(-1),
+                                jnp.arange(dims.FD))
+        bufs = bufs_flat.reshape(dims.R, dims.WREG)
         if stage == "fades":
             return _ck(bufs)
 
@@ -886,33 +955,164 @@ def build_core(dims: PlanDims, ubuf: int, stage: str = "full"):
         if stage == "move":
             return _ck(bufs)
 
-        # 2c: contour + energy + fades. The rise segment (c1) runs vmapped
-        # over all regions; the interrogative-final *fall* segment (c2)
-        # applies to at most the final word region of a question, so a
-        # while_loop walks only those regions — a batch with no questions
-        # pays zero trips instead of a second full [R]-wide contour pass
-        # (0.25 s/batch in the round-2 profile).
-        def region_c1(row, count, do_dsp, contour, qfinal):
-            head = row[:MARGIN]
-            content = row[MARGIN:MARGIN + dims.CONTW]
-            rest = row[MARGIN + dims.CONTW:]
+        # 2c: contour + energy + fades. The rise segment (c1) runs over a
+        # COMPACT per-sentence frame workspace: each region's live
+        # content is copied into a zone sized by its actual DSP length
+        # (region-granular window moves), so the shifted-select resample
+        # covers ~SMAX/128 real frame slots instead of R * max_frames
+        # padded ones (3.5x fewer at the bench bucket — the contour pass
+        # was 0.51 s/batch). Exactness: every read that could cross a
+        # zone boundary is already masked by the same (pos + idx < count)
+        # / in_range masks _contour0 uses, OLA contributions are gated by
+        # frame_ok, and the merge-back applies the identical
+        # (i < count) & active & good mask — so zone padding contents
+        # never reach the output. The interrogative-final *fall* segment
+        # (c2) applies to at most the final word region of a question; a
+        # while_loop walks only those regions.
+        FRC, HOPC = 256, 128
+        K_slots = dims.SMAX // 128 + 2 * dims.R + 4
+        WC = K_slots * 128 + dims.CONTW + 1024
 
-            ws, we, peak = contour[0], contour[1], contour[2]
-            rise = (count.astype(F32) * F32(0.6)).astype(jnp.int32)
-            use_split = qfinal & (rise > 100) & (count - rise > 100)
+        contour_p = ar["region_contour"]
+        ws_r, we_r, peak_r = (contour_p[:, 0], contour_p[:, 1],
+                              contour_p[:, 2])
+        rise_r = (comp_lens.astype(F32) * F32(0.6)).astype(jnp.int32)
+        use_split_r = (ar["region_qfinal"] & (rise_r > 100)
+                       & (comp_lens - rise_r > 100))
+        seg1_len = jnp.where(use_split_r, rise_r, comp_lens)
+        f_end_r = jnp.where(use_split_r, peak_r, we_r)
+        cnt_r = jnp.where(ar["region_do_dsp"], seg1_len, 0)
+        act_r = (cnt_r >= 100) & (jnp.abs(ws_r - f_end_r) >= F32(0.01))
 
-            seg1_len = jnp.where(use_split, rise, count)
-            seg1_end = jnp.where(use_split, peak, we)
-            dsp_len1 = jnp.where(do_dsp, seg1_len, 0)
-            c1 = dops.contour_segment(content, 0, dsp_len1,
-                                      ws, seg1_end, max_frames,
-                                      dims.contour_drift)
-            return jnp.concatenate([head, c1, rest])
-
-        bufs = jax.vmap(region_c1)(
-            bufs, comp_lens, ar["region_do_dsp"],
-            ar["region_contour"], ar["region_qfinal"],
+        zone_slots = jnp.where(cnt_r > 0, (cnt_r + 127) // 128 + 1, 1)
+        zone_off = jnp.concatenate(
+            [jnp.zeros(1, jnp.int32), jnp.cumsum(zone_slots)[:-1]]
         )
+
+        # Copy-in (ascending zones: each CONTW-wide write may spill into
+        # later zones, which are rewritten by their own later copy).
+        wksp = jnp.zeros(WC, F32)
+        for r in range(dims.R):
+            win_r = lax.slice(bufs, (r, MARGIN),
+                              (r + 1, MARGIN + dims.CONTW))[0]
+            wksp = lax.dynamic_update_slice(wksp, win_r,
+                                            (zone_off[r] * 128,))
+
+        # Per-slot region params (one-nonzero selection; counts < 2^24
+        # are exact in f32).
+        sidx = jnp.arange(K_slots)
+        member = ((sidx[None, :] >= zone_off[:, None])
+                  & (sidx[None, :] < (zone_off + zone_slots)[:, None]))
+
+        def pick(v):
+            # Exact one-nonzero selection [R] -> [K_slots] (a matmul
+            # would ride bf16 and round counts/factors; R is tiny).
+            return jnp.sum(
+                jnp.where(member, v.astype(F32)[:, None], F32(0.0)),
+                axis=0,
+            )
+
+        cnt_s = pick(cnt_r).astype(jnp.int32)
+        fs_s = pick(ws_r)
+        fe_s = pick(f_end_r)
+        act_s = jnp.any(member & act_r[:, None], axis=0)
+        pos_s = (sidx - pick(zone_off).astype(jnp.int32)) * HOPC
+
+        # Frame math (mirrors dops._contour0 on the compact grid).
+        denomc = (cnt_s - FRC).astype(F32)
+        inv_cnt = jnp.where(denomc != 0, F32(1.0) / denomc, F32(jnp.inf))
+        frame_ok = (pos_s + FRC <= cnt_s) & act_s
+        tc = pos_s.astype(F32) * inv_cnt
+        smooth_tc = tc * tc * (F32(3.0) - F32(2.0) * tc)
+        pf_s = fs_s + (fe_s - fs_s) * smooth_tc
+
+        tiles = [
+            lax.slice(wksp, (j * HOPC,),
+                      (K_slots * HOPC + j * HOPC,)).reshape(K_slots, HOPC)
+            for j in range(4)
+        ]
+        winm = jnp.concatenate(tiles, axis=1)            # [K_slots, 512]
+
+        from ctts_tpu.ops.luts import hann as hann_lut
+
+        ic256 = jnp.arange(FRC)
+        src = ic256[None, :].astype(F32) * pf_s[:, None]
+        idxc = src.astype(jnp.int32)
+        fracc = src - idxc.astype(F32)
+        in_rangec = idxc + 1 < FRC
+        D = dims.contour_drift
+        mcb = max((D - 2) / 256.0, 1e-6)
+        wpadc = jnp.concatenate(
+            [jnp.zeros((K_slots, D), F32), winm], axis=1
+        )
+        driftc = idxc - ic256[None, :]
+        ca = jnp.zeros((K_slots, FRC), F32)
+        cb = jnp.zeros((K_slots, FRC), F32)
+        w_prev = lax.slice(wpadc, (0, 0), (K_slots, FRC))
+        for delta in range(-D, D + 1):
+            w_d = w_prev
+            w_d1 = lax.slice(wpadc, (0, D + delta + 1),
+                             (K_slots, D + delta + 1 + FRC))
+            w_prev = w_d1
+            i0 = 0 if delta == 0 else int((abs(delta) - 1) / mcb)
+            i0 = (i0 // 128) * 128
+            if i0 >= FRC:
+                continue
+            sl_hit = driftc[:, i0:] == delta
+            ca = ca.at[:, i0:].set(jnp.where(sl_hit, w_d[:, i0:],
+                                             ca[:, i0:]))
+            cb = cb.at[:, i0:].set(jnp.where(sl_hit, w_d1[:, i0:],
+                                             cb[:, i0:]))
+        ca = jnp.where(pos_s[:, None] + idxc < cnt_s[:, None], ca,
+                       F32(0.0))
+        samplec = jnp.where(in_rangec,
+                            ca * (F32(1.0) - fracc) + cb * fracc, ca)
+
+        hann256 = hann_lut(FRC)
+        contribc = trunc16(samplec * hann256[None, :])
+        contribc = jnp.where(frame_ok[:, None], contribc, F32(0.0))
+        normcc = jnp.where(frame_ok[:, None], hann256[None, :], F32(0.0))
+
+        # 50%-overlap OLA as two interleaved non-overlapping tilings
+        # (global slot parity: position = slot * 128 regardless of zone
+        # alignment, and adjacent same-parity slots are 256 apart).
+        LA = K_slots * HOPC + FRC + HOPC
+        even = contribc[0::2].reshape(-1)
+        odd = contribc[1::2].reshape(-1)
+        accc = (
+            jnp.concatenate([even, jnp.zeros(LA - even.shape[0], F32)])
+            + jnp.concatenate(
+                [jnp.zeros(HOPC, F32), odd,
+                 jnp.zeros(LA - HOPC - odd.shape[0], F32)]
+            )
+        )
+        n_even = normcc[0::2].reshape(-1)
+        n_odd = normcc[1::2].reshape(-1)
+        normb = (
+            jnp.concatenate([n_even, jnp.zeros(LA - n_even.shape[0], F32)])
+            + jnp.concatenate(
+                [jnp.zeros(HOPC, F32), n_odd,
+                 jnp.zeros(LA - HOPC - n_odd.shape[0], F32)]
+            )
+        )
+        accc = wrap16(accc)
+        goodb = normb > F32(0.01)
+        valb = q16(accc / jnp.where(goodb, normb, F32(1.0)))
+        valb = jnp.concatenate([valb, jnp.zeros(WC - LA, F32)])
+        normb = jnp.concatenate([normb, jnp.zeros(WC - LA, F32)])
+
+        # Merge back under the same (i < count) & active & good mask.
+        icw = jnp.arange(dims.CONTW)
+        for r in range(dims.R):
+            off = zone_off[r] * 128
+            val_w = lax.dynamic_slice(valb, (off,), (dims.CONTW,))
+            norm_w = lax.dynamic_slice(normb, (off,), (dims.CONTW,))
+            old = lax.slice(bufs, (r, MARGIN),
+                            (r + 1, MARGIN + dims.CONTW))[0]
+            m = (icw < cnt_r[r]) & act_r[r] & (norm_w > F32(0.01))
+            merged = jnp.where(m, val_w, old)
+            bufs = lax.dynamic_update_slice(bufs, merged[None],
+                                            (r, MARGIN))
 
         qf = (ar["region_qfinal"] & ar["region_do_dsp"]
               & ar["region_active"])
@@ -963,7 +1163,8 @@ def build_core(dims: PlanDims, ubuf: int, stage: str = "full"):
 
             content = jnp.where(
                 fade_after > 0,
-                dops.tail_fade(content, count, fade_after),
+                dops.tail_fade_window(content, count, fade_after,
+                                      dims.FADE2W),
                 content,
             )
             return jnp.concatenate([head, content, rest])
@@ -987,16 +1188,15 @@ def build_core(dims: PlanDims, ubuf: int, stage: str = "full"):
 
         sent = jnp.zeros(MARGIN + dims.SMAX + dims.WREG, F32)
 
-        def place(sent, r):
-            row = bufs[r]
-            iw = jnp.arange(dims.WREG)
-            row = jnp.where(iw < MARGIN + new_lens[r], row, F32(0.0))
+        # Unrolled (static r keeps each row read a free view; only the
+        # destination offset is dynamic).
+        iw = jnp.arange(dims.WREG)
+        for r in range(dims.R):
+            row = jnp.where(iw < MARGIN + new_lens[r], bufs[r], F32(0.0))
             row = jnp.where(ar["region_active"][r], row, F32(0.0))
             start = offsets[r]  # buffer index of margin start
             seg = lax.dynamic_slice(sent, (start,), (dims.WREG,))
-            return lax.dynamic_update_slice(sent, seg + row, (start,)), None
-
-        sent, _ = lax.scan(place, sent, jnp.arange(dims.R))
+            sent = lax.dynamic_update_slice(sent, seg + row, (start,))
         sent = sent[MARGIN: MARGIN + dims.SMAX]
         ii = jnp.arange(dims.SMAX)
         sent = q16(jnp.where(ii < total_len, sent, F32(0.0)))

@@ -229,6 +229,11 @@ def time_stretch_device(
 
     out0 = jnp.zeros(out_size, F32)
     norm0 = jnp.zeros(out_size, F32)
+    # NOTE: a while_loop bounded by the input's own frame count was
+    # tried and is 4.5x SLOWER under vmap: heterogeneous per-lane trip
+    # counts make the batching rule select the ENTIRE carry (out+norm,
+    # ~46 MB/batch) every step. The static scan's extra steps are cheap
+    # masked no-ops by comparison.
     (out, norm, _, _, actual_len), _ = lax.scan(
         step,
         (out0, norm0, jnp.int32(0), jnp.array(False), jnp.array(0)),

@@ -202,20 +202,17 @@ def silence_segments(
     next_keep = jnp.concatenate([keep[1:], jnp.array([False])])
     seg_end_flag = keep & (~next_keep)
 
-    # Extract the first NBLK segment bounds in order. seg_idx numbers
-    # each kept segment 1..n (its end flag lies inside it, so both flags
-    # see the same number); row s of the [NBLK, W] compare selects
-    # segment s+1's unique flag position via argmax — cheap VPU
-    # reductions instead of top_k (which lowers to a full sort of the
-    # CONTW-wide row on TPU).
+    # Extract the first NBLK segment bounds in order. The flag cumsums
+    # are monotone and jump exactly at flagged positions, so segment s's
+    # start is the first index with cumsum >= s — a binary search
+    # (searchsorted), ~log2(W) probes per segment instead of the
+    # [NBLK, W] broadcast compare this used to do (~1 GB of bool
+    # traffic per 64x16-region batch at CONTW=29696).
     seg_idx = jnp.cumsum(seg_start_flag.astype(jnp.int32))
-    sel = seg_idx[None, :] == (jnp.arange(NBLK, dtype=jnp.int32)[:, None] + 1)
-    sel_start = sel & seg_start_flag[None, :]
-    sel_end = sel & seg_end_flag[None, :]
-    starts = jnp.where(jnp.any(sel_start, axis=1),
-                       jnp.argmax(sel_start, axis=1), jnp.int32(W))
-    ends = jnp.where(jnp.any(sel_end, axis=1),
-                     jnp.argmax(sel_end, axis=1), jnp.int32(W))
+    cum_end = jnp.cumsum(seg_end_flag.astype(jnp.int32))
+    s_vals = jnp.arange(1, NBLK + 1, dtype=jnp.int32)
+    starts = jnp.searchsorted(seg_idx, s_vals, side="left").astype(jnp.int32)
+    ends = jnp.searchsorted(cum_end, s_vals, side="left").astype(jnp.int32)
     valid_seg = starts < W
     seg_len = jnp.where(valid_seg, ends - starts + 1, 0)
     # Overflow: >NBLK segments → last slot becomes a catch-all that keeps

@@ -49,26 +49,36 @@ def _pitch_from_segment(seg: jnp.ndarray, count: jnp.ndarray) -> jnp.ndarray:
     # e2_all[k]   = Σ_i mask[i]  * seg[k + i]^2
     # DECISION-EXACT (ops.exact): inputs are int16-valued, so both are
     # computed as exact integers via hi/lo component correlations — all
-    # seven component channels ride ONE grouped conv (single dispatch;
-    # the conv op carries a per-dispatch latency floor on this backend).
-    # The oracle computes the identical integers in f64
-    # (dsp_np.estimate_pitch), making the lag argmax and the 0.3 voiced
-    # threshold bit-stable device-vs-oracle.
+    # component channels ride ONE grouped conv (single dispatch; the
+    # conv op carries a per-dispatch latency floor on this backend).
+    # Every channel input is bf16-exact (|v| ≤ 128 split halves, 0/1
+    # mask, and the squared products re-split into ≤ 2^7-magnitude
+    # halves), so DEFAULT precision computes the exact integers — no
+    # HIGHEST (≈6-pass) emulation needed. The oracle computes the
+    # identical integers in f64 (dsp_np.estimate_pitch), making the lag
+    # argmax and the 0.3 voiced threshold bit-stable device-vs-oracle.
     from ctts_tpu.ops.exact import combine_exact, split_hi_lo
 
     sh, sl = split_hi_lo(seg)
     bh, bl = split_hi_lo(base_m)
-    inp = jnp.stack([sh, sh, sl, sl, sh * sh, sh * sl, sl * sl])[None]
-    ker = jnp.stack([bh, bl, bh, bl, mask_i, mask_i, mask_i])[:, None, :]
+    hh_h, hh_l = split_hi_lo(sh * sh)
+    hl_h, hl_l = split_hi_lo(sh * sl)
+    ll_h, ll_l = split_hi_lo(sl * sl)
+    inp = jnp.stack([sh, sh, sl, sl,
+                     hh_h, hh_l, hl_h, hl_l, ll_h, ll_l])[None]
+    ker = jnp.stack([bh, bl, bh, bl] + [mask_i] * 6)[:, None, :]
     ch = lax.conv_general_dilated(
         inp, ker, window_strides=(1,), padding="VALID",
-        feature_group_count=7,
+        feature_group_count=10,
         dimension_numbers=("NCH", "OIH", "NCH"),
-        precision=lax.Precision.HIGHEST,  # squared channels reach 2^14:
-        # bf16 inputs would round them; HIGHEST splits f32 exactly
-    )[0]                                             # [7, 276]
+    )[0]                                             # [10, 276]
     corr_all = combine_exact(ch[0], ch[1] + ch[2], ch[3], 256.0)
-    e2_all = combine_exact(ch[4], ch[5], ch[6], 512.0)
+    # Reassemble the exact energy component sums (each ≤ 2^23 — exact
+    # in f32) from their split-half conv sums.
+    e_hh = F32(256.0) * ch[4] + ch[5]
+    e_hl = F32(256.0) * ch[6] + ch[7]
+    e_ll = F32(256.0) * ch[8] + ch[9]
+    e2_all = combine_exact(e_hh, e_hl, e_ll, 512.0)
     e1 = combine_exact(
         jnp.sum(bh * bh), jnp.sum(bh * bl), jnp.sum(bl * bl), 512.0
     )
@@ -183,20 +193,32 @@ def silence_segments(
     abs_threshold = jnp.trunc(max_amp * F32(threshold))
 
     silent = (absv <= abs_threshold) & live
-    prev_silent = jnp.concatenate([jnp.array([False]), silent[:-1]])
-    start_flag = silent & (~prev_silent)
-    start_pos = jnp.where(start_flag, i, -1)
-    run_start = lax.associative_scan(jnp.maximum, start_pos)
-    nonsilent_idx = jnp.where(~silent, i, W)
-    run_end = lax.associative_scan(jnp.minimum, nonsilent_idx[::-1])[::-1]
-    my_run_len = run_end - run_start
 
+    # Run predicates via cumsum windows (no associative max/min scans —
+    # they were ~half the segtables stage):
+    # - prefix_ok[i]: i sits ≥ keep_n into its silent run ⟺ the
+    #   keep_n+1 positions ending at i are all silent.
+    # - long[i]: i's run is ≥ min_silence long ⟺ some fully-silent
+    #   min_silence-window starts within [i-min_silence+1, i] (a silent
+    #   window cannot cross a run boundary, and a ≥M-long run always has
+    #   one overlapping each of its positions).
     keep_n = max(min_silence // 4, 10)
-    long_run = my_run_len >= min_silence
-    keep_silent = jnp.where(
-        long_run, (i - run_start) < keep_n, jnp.ones_like(silent)
+    kn1 = keep_n + 1
+    M = max(min_silence, 1)
+    cs = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(silent.astype(jnp.int32))]
+    )                                                   # [W+1]
+    cs_l = jnp.concatenate([jnp.zeros(kn1, jnp.int32), cs])[1: W + 1]
+    prefix_ok = (cs[1:] - cs_l) == kn1
+    cs_r = jnp.concatenate([cs, jnp.full(M, cs[-1], jnp.int32)])
+    w_all = (cs_r[M: M + W] - cs[:W]) == M              # [W]
+    cw = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(w_all.astype(jnp.int32))]
     )
-    keep = jnp.where(silent, keep_silent, live)
+    cw_l = jnp.concatenate([jnp.zeros(M, jnp.int32), cw])[1: W + 1]
+    long_run = (cw[1:] - cw_l) > 0
+
+    keep = jnp.where(silent, ~(long_run & prefix_ok), live)
 
     seg_start_flag = keep & jnp.concatenate([jnp.array([True]), ~keep[:-1]])
     next_keep = jnp.concatenate([keep[1:], jnp.array([False])])

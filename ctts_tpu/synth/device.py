@@ -846,6 +846,13 @@ def build_core(dims: PlanDims, ubuf: int, stage: str = "full"):
             # final exportless scan then composes with the final heads.
             heads0 = base[:, :CFMAX]
 
+            if stage == "scanonly":
+                # Placement scan alone (no window export, no boundary
+                # DSP) — isolates the sequential scan's cost.
+                contrib = prepare_contrib(base, fo, fi, ar, heads0)
+                bufs_1, _ = compose_scan(contrib, fo, False)
+                return _ck(bufs_1)
+
             if stage == "compose1":
                 # One fixed-point trip (profiling: trip cost vs count).
                 contrib = prepare_contrib(base, fo, fi, ar, heads0)

@@ -134,6 +134,72 @@ def test_batched_sharded_synthesis(voice_db):
         assert diff.max() <= 2, f"{t}: max diff {diff.max()}"
 
 
+def test_silence_segments_fuzz_vs_oracle():
+    """The cumsum-window run predicates (no associative scans) must
+    reproduce the oracle's remove_silence_regions exactly — segment
+    tables reassemble to the identical compacted audio."""
+    import jax.numpy as jnp
+
+    from ctts_tpu.ops import device_ops as dops
+    from ctts_tpu.synth.dsp_np import remove_silence_regions
+
+    rng = np.random.default_rng(7)
+    for _ in range(25):
+        n = int(rng.integers(50, 4000))
+        x = rng.normal(0, 3000, n).astype(np.float32).round()
+        for _ in range(int(rng.integers(0, 6))):
+            s = int(rng.integers(0, max(n - 40, 1)))
+            ln = int(rng.integers(10, 900))
+            x[s:s + ln] = rng.integers(-2, 3, size=len(x[s:s + ln]))
+        buf = np.zeros(4096, np.float32)
+        buf[:n] = x
+        ref = remove_silence_regions(x.copy(), np.float32(0.01), 330)
+        starts, seg_len, new_len, ovf = [
+            np.asarray(v) for v in dops.silence_segments(
+                jnp.asarray(buf), jnp.int32(n), jnp.float32(0.01), 330)
+        ]
+        if bool(ovf):
+            continue
+        out = [buf[s:s + l] for s, l in zip(starts, seg_len) if l > 0]
+        got = np.concatenate(out) if out else np.zeros(0, np.float32)
+        assert int(new_len) == len(ref)
+        assert np.array_equal(got, ref)
+
+
+def test_corpus_shares_one_bucket(voice_db):
+    """With the serving floor, a mixed corpus (short/long sentences,
+    different max crossfades) must land in ONE dims bucket — per-plan
+    MARGIN/WIN/CFMAX differences once fragmented a 64-text batch into 4
+    serial dispatches (round-2 regression guard)."""
+    from ctts_tpu.synth.device import bucket_dims, derive_dims, walk_plan
+
+    db = VoiceDatabase(voice_db)
+    config = config_defaults()
+    floor = {"U": 32, "R": 16, "FD": 8, "WREG": 32768, "SMAX": 131072,
+             "CONTW": 32768, "WIN": 2048, "CFMAX": 1024}
+    texts = ["oi", "a", "como vai", "que legal!", "como se chama?",
+             "hoje de manhã eu acordei cedo e fui trabalhar",
+             "o rato roeu a roupa do rei de roma"]
+    keys = {
+        bucket_dims(derive_dims(walk_plan(
+            compile_plan(db, t, config, None, 1.0), db), db), floor)
+        for t in texts
+    }
+    assert len(keys) == 1, f"{len(keys)} buckets: {keys}"
+
+
+def test_batch_size_granularity():
+    """Batch sizes round to multiples of 8 (not pow2 — a 72-row batch
+    must not pad to 128) and respect the mesh multiple."""
+    from ctts_tpu.parallel.batch import _next_batch_size
+
+    assert _next_batch_size(72, 1) == 72
+    assert _next_batch_size(65, 1) == 72
+    assert _next_batch_size(1, 1) == 8
+    assert _next_batch_size(72, 16) == 80
+    assert _next_batch_size(8, 8) == 8
+
+
 def test_stream_matches_synthesize(voice_db):
     """The pipelined serving loop (stream) must yield, per input batch,
     exactly what synthesize returns — same order, same samples — across

@@ -502,15 +502,6 @@ def fill_device_plan(w: WalkedPlan, db: VoiceDatabase,
         a["fade_pos"][k] = pos
         a["fade_len"][k] = flen
 
-    # Per-region unit-slot ranges (units are emitted region-major).
-    a["region_ustart"] = np.zeros(dims.R, np.int32)
-    a["region_ucount"] = np.zeros(dims.R, np.int32)
-    for k, u in enumerate(units):
-        r = u["region"]
-        if a["region_ucount"][r] == 0:
-            a["region_ustart"][r] = k
-        a["region_ucount"][r] += 1
-
     a["threshold"] = np.float32(cfg.silence_threshold)
     a["speed"] = np.float32(plan.speed)
     a["refine_trips"] = np.int32(w.refine_trips)

@@ -203,11 +203,19 @@ def time_stretch_device(
         )
         actual = jnp.maximum(actual, 0)
 
-        # Frame fetch: one-hot pick from the stacked windows (the frame
-        # at offset d starts at win768 index d + MAX_SHIFT).
-        mf = _stack_windows(win768, FRAME)             # [257, 512]
+        # Frame fetch: one-hot picks from the split stacks (the frame at
+        # offset d starts at win768 index d + MAX_SHIFT). Its first
+        # OVERLAP samples ride the already-built mh/ml stacks; the last
+        # AHOP samples need only a narrow extra stack pair — 20% less
+        # stack materialization than a dedicated [257, FRAME] raw stack.
+        # Reconstruction 256*hi + lo of the exact picks is exact in f32.
         onehot_f = (io == (actual - nominal + MAX_SHIFT)).astype(F32)
-        frame = onehot_f @ mf
+        s2h = _stack_windows(lax.slice(wh, (OVERLAP,), (_WIN_W,)), AHOP)
+        s2l = _stack_windows(lax.slice(wl, (OVERLAP,), (_WIN_W,)), AHOP)
+        frame = jnp.concatenate([
+            F32(256.0) * (onehot_f @ mh) + onehot_f @ ml,
+            F32(256.0) * (onehot_f @ s2h) + onehot_f @ s2l,
+        ])
         contrib = trunc16(frame * window)
 
         seg = lax.dynamic_slice(out, (synth_pos,), (FRAME,))

@@ -714,10 +714,11 @@ def build_core(dims: PlanDims, ubuf: int, stage: str = "full"):
 
     def boundary_heads(base, ar, windows):
         """Batched boundary DSP (smooth_pitch_boundary +
-        match_boundary_energy) from pass-A analysis windows. Operates on
-        the precomputed base heads — no bank access."""
+        match_boundary_energy) from the scan-exported (pitch segment,
+        tail) window pairs. Operates on the precomputed base heads — no
+        bank access."""
 
-        def one(k, win):
+        def one(k, seg, prev_tail):
             n = ar["_unit_n"][k]
             head = base[k][:CFMAX]
             it = jnp.arange(CFMAX)
@@ -726,7 +727,7 @@ def build_core(dims: PlanDims, ubuf: int, stage: str = "full"):
             do_boundary = ar["unit_smooth"][k] & (ar["unit_boundary"][k] > 0)
             do_smooth = do_boundary & ar["unit_prev_ok"][k] & (n >= 200)
 
-            prev_pitch = dops.estimate_pitch_win(win, analysis)
+            prev_pitch = dops._pitch_from_segment(seg, analysis)
             next_pitch = ar["_next_pitch"][k]
             voiced = (prev_pitch > 0) & (next_pitch > 0)
             ratio = next_pitch / jnp.where(prev_pitch > 0, prev_pitch,
@@ -744,7 +745,6 @@ def build_core(dims: PlanDims, ubuf: int, stage: str = "full"):
             head = jnp.where((it < shift_region) & use_shift, shifted, head)
 
             blen = ar["unit_boundary_len"][k]
-            prev_tail = win[WIN - CFMAX:]
             tail_live = it >= (CFMAX - blen)
             prev_rms = jnp.sqrt(
                 jnp.sum(jnp.where(tail_live, prev_tail * prev_tail, 0.0))
@@ -765,7 +765,8 @@ def build_core(dims: PlanDims, ubuf: int, stage: str = "full"):
             head = jnp.where((it < blen) & do_energy, q16(head * egain), head)
             return head
 
-        return jax.vmap(one)(jnp.arange(dims.U), windows)
+        segs, tails = windows
+        return jax.vmap(one)(jnp.arange(dims.U), segs, tails)
 
     def core(bank, bank_lens, gains, ar):
         ar = dict(ar)
@@ -806,9 +807,19 @@ def build_core(dims: PlanDims, ubuf: int, stage: str = "full"):
                 n = ar["_unit_n"][k]
                 x = contrib[k]
                 if export_windows:
-                    win = lax.dynamic_slice(
-                        flat, (base_off + cf - WIN,), (WIN,)
+                    # Boundary DSP needs only the pitch segment (the
+                    # _PITCH_SPAN window starting `analysis` back from
+                    # the write point — content beyond it is still
+                    # zeros, bit-matching the old zero-padded window)
+                    # and the CFMAX tail, not a WIN-wide export.
+                    ana = ar["unit_analysis"][k]
+                    seg = lax.dynamic_slice(
+                        flat, (base_off + cf - ana,), (dops._PITCH_SPAN,)
                     )
+                    ptail = lax.dynamic_slice(
+                        flat, (base_off + cf - CFMAX,), (CFMAX,)
+                    )
+                    win = (seg, ptail)
                 else:
                     win = jnp.zeros((), F32)
                 tail = lax.dynamic_slice(flat, (base_off,), (CFMAX,))

@@ -20,7 +20,7 @@ import sys
 
 import numpy as np
 
-from ctts_tpu.config import CTTSConfig, _strtof, load_config
+from ctts_tpu.config import _strtof, load_config
 from ctts_tpu.constants import MAX_SPEED, MIN_SPEED, SAMPLE_RATE
 from ctts_tpu.db.builder import build_database
 from ctts_tpu.db.reader import VoiceDatabase

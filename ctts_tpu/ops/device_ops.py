@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ctts_tpu.constants import SAMPLE_RATE
-from ctts_tpu.ops.luts import fade_in_gain, fade_out_gain, hann, sine_fade_gain
+from ctts_tpu.ops.luts import hann, sine_fade_gain
 from ctts_tpu.ops.quant import q16, trunc16, wrap16
 
 F32 = jnp.float32

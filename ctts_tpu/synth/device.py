@@ -44,7 +44,6 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from ctts_tpu.constants import SAMPLE_RATE
 from ctts_tpu.db.reader import VoiceDatabase
 from ctts_tpu.ops import device_ops as dops
 from ctts_tpu.ops.luts import fade_in_gain, fade_out_gain

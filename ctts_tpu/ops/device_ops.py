@@ -136,8 +136,42 @@ def pitch_shift_blend(
     idx = src_pos.astype(jnp.int32)
     frac = src_pos - idx.astype(F32)
 
-    a = head[jnp.clip(idx, 0, H - 1)]
-    b = head[jnp.clip(idx + 1, 0, H - 1)]
+    # Resample reads head[idx] / head[idx+1]. An elementwise gather here
+    # was the compose path's single largest cost (0.054 s/trip at batch
+    # 64); instead, per 128-column block, fetch ONE 512-wide window at
+    # the block's base source position (windowed dynamic slices lower to
+    # DMA-like copies) and pick within it by exact one-hot contractions
+    # (window values hi/lo-split so bf16 passes stay exact; block-local
+    # offsets span ≤ ceil(128*1.1)+1 < 512 whenever do_shift holds).
+    # Out-of-range rows (do_shift false → arbitrary factor) produce
+    # all-zero one-hots; those lanes' results are discarded below, and
+    # reads past H land in the zero padding — only positions masked out
+    # by have1/have2 ever index there, matching the old clip semantics.
+    from ctts_tpu.ops.exact import split_hi_lo
+
+    assert H % 128 == 0
+    nblk = H // 128
+    WW = 256  # block-local offsets span ≤ ceil(128*1.1)+1 = 142
+    bf16 = jnp.bfloat16
+    hpad = jnp.concatenate([head, jnp.zeros(WW + 128, F32)])
+    base = (jnp.arange(nblk) * 128).astype(F32) * factor
+    base = jnp.minimum(base.astype(jnp.int32), H)
+    win = jnp.stack([
+        lax.dynamic_slice(hpad, (base[c],), (WW + 1,))
+        for c in range(nblk)
+    ])                                                 # [nblk, 257]
+    wh, wl = split_hi_lo(win)
+    wh, wl = wh.astype(bf16), wl.astype(bf16)
+    li = idx.reshape(nblk, 128) - base[:, None]        # block-local idx
+    onehot = (li[:, :, None] ==
+              jnp.arange(WW)[None, None, :]).astype(bf16)  # [nblk,128,WW]
+
+    def pick(w):
+        return jnp.einsum("kls,ks->kl", onehot, w,
+                          preferred_element_type=F32)
+
+    a = (F32(256.0) * pick(wh[:, :WW]) + pick(wl[:, :WW])).reshape(H)
+    b = (F32(256.0) * pick(wh[:, 1:]) + pick(wl[:, 1:])).reshape(H)
     lerp = a * (F32(1.0) - frac) + b * frac
     have2 = idx + 1 < shift_region
     have1 = (~have2) & (idx < shift_region)

@@ -134,6 +134,57 @@ def test_batched_sharded_synthesis(voice_db):
         assert diff.max() <= 2, f"{t}: max diff {diff.max()}"
 
 
+def test_pitch_shift_blend_fuzz():
+    """The block-windowed one-hot blend must be bit-equal to the direct
+    gather formulation it replaced — including out-of-gate factors
+    (do_shift false) and boundary shift_region values."""
+    import jax
+    import jax.numpy as jnp
+
+    from ctts_tpu.ops import device_ops as dops
+    from ctts_tpu.ops.quant import trunc16
+
+    F32 = jnp.float32
+
+    @jax.jit
+    def gather_blend(head, shift_region, factor):
+        H = head.shape[0]
+        i = jnp.arange(H)
+        do_shift = ((factor >= F32(0.9)) & (factor <= F32(1.1))
+                    & (shift_region >= 100))
+        new_count = (shift_region.astype(F32) / factor).astype(jnp.int32)
+        src_pos = i.astype(F32) * factor
+        idx = src_pos.astype(jnp.int32)
+        frac = src_pos - idx.astype(F32)
+        a = head[jnp.clip(idx, 0, H - 1)]
+        b = head[jnp.clip(idx + 1, 0, H - 1)]
+        lerp = a * (F32(1.0) - frac) + b * frac
+        have2 = idx + 1 < shift_region
+        have1 = (~have2) & (idx < shift_region)
+        resampled = jnp.where(have2, trunc16(lerp),
+                              jnp.where(have1, a, F32(0.0)))
+        copy_count = jnp.minimum(new_count, shift_region)
+        shifted = jnp.where(i < copy_count, resampled, F32(0.0))
+        shifted = jnp.where(do_shift, shifted, head)
+        t = i.astype(F32) / shift_region.astype(F32)
+        blended = trunc16(shifted * (F32(1.0) - t) + head * t)
+        return jnp.where(i < shift_region, blended, head)
+
+    new_blend = jax.jit(dops.pitch_shift_blend)
+    rng = np.random.default_rng(2)
+    for trial in range(40):
+        head = jnp.asarray(
+            rng.integers(-32768, 32768, 1024).astype(np.float32)
+        )
+        sr = int(rng.integers(0, 1025))
+        f = [float(rng.uniform(0.9, 1.1)), float(rng.uniform(0.5, 2.5)),
+             float(rng.choice([0.9, 1.1, 1.0])),
+             float(rng.uniform(0.0, 100.0))][trial % 4]
+        ref = np.asarray(gather_blend(head, jnp.int32(sr), F32(f)))
+        got = np.asarray(new_blend(head, jnp.int32(sr), F32(f)))
+        assert np.array_equal(ref, got), (trial, sr, f)
+
+
 def test_silence_segments_fuzz_vs_oracle():
     """The cumsum-window run predicates (no associative scans) must
     reproduce the oracle's remove_silence_regions exactly — segment

@@ -32,8 +32,17 @@ struct CtnPlan {
   float energy_factor;
 };
 
+// Raw view of an open database's memory mapping, for consumers that
+// expose the transparent reference engine struct (ctts.h:128-149).
+struct CtnDbView {
+  const uint8_t* data;
+  size_t size;
+  int fd;
+};
+
 void* ctn_db_open(const char* path);
 void ctn_db_close(void* handle);
+void ctn_db_view(void* handle, CtnDbView* out);
 uint32_t ctn_db_unit_count(void* handle);
 uint32_t ctn_db_max_unit_chars(void* handle);
 int32_t ctn_db_find_unit(void* handle, const char* text, size_t len);

@@ -15,6 +15,7 @@
 
 #include <cctype>
 #include <cmath>
+#include <cstddef>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -1180,15 +1181,22 @@ struct CapiDbIndexEntry {
 // Engine
 // ---------------------------------------------------------------------------
 
-}  // namespace
-
-// The public engine handle (opaque in our header).
-struct CTTS {
+// The engine handle: the public transparent struct (include/ctts.h,
+// matching the reference layout ctts.h:128-149) followed by the private
+// ctn database handle. The pointer handed to callers is &impl->pub, so
+// reference-style field access (engine->header.unit_count,
+// engine->units_found, &engine->config — ctts.c:3990-4015) works.
+struct EngineImpl {
+  CTTS pub{};
   void* ndb = nullptr;  // ctn database handle
-  CTTSConfig config{};
-  uint32_t units_found = 0;
-  uint32_t units_missing = 0;
 };
+static_assert(offsetof(EngineImpl, pub) == 0, "pub must lead the impl");
+
+EngineImpl* impl_of(CTTS* engine) {
+  return reinterpret_cast<EngineImpl*>(engine);
+}
+
+}  // namespace
 
 extern "C" {
 
@@ -1347,16 +1355,34 @@ CTTS* ctts_init(const char* database_file) {
   if (!database_file) return nullptr;
   void* ndb = ctn_db_open(database_file);
   if (!ndb) return nullptr;
-  CTTS* e = new CTTS();
-  e->ndb = ndb;
-  ctts_config_defaults(&e->config);
-  return e;
+  auto* impl = new EngineImpl();
+  impl->ndb = ndb;
+  // Populate the transparent reference-layout fields (ctts.c:1103-1161)
+  // from the native mapping so callers can read them directly.
+  CtnDbView view{};
+  ctn_db_view(ndb, &view);
+  CTTS& pub = impl->pub;
+  pub.db_data = const_cast<uint8_t*>(view.data);
+  pub.db_size = view.size;
+  pub.db_fd = view.fd;
+  std::memcpy(&pub.header, view.data, sizeof(CTTSHeader));
+  pub.index = reinterpret_cast<CTTSIndexEntry*>(
+      pub.db_data + pub.header.index_offset);
+  pub.hash_table = reinterpret_cast<uint32_t*>(
+      pub.db_data + pub.header.hash_table_offset);
+  pub.strings = reinterpret_cast<char*>(pub.db_data +
+                                        pub.header.strings_offset);
+  pub.audio = reinterpret_cast<int16_t*>(pub.db_data +
+                                         pub.header.audio_offset);
+  ctts_config_defaults(&pub.config);
+  return &impl->pub;
 }
 
 void ctts_free(CTTS* engine) {
   if (!engine) return;
-  if (engine->ndb) ctn_db_close(engine->ndb);
-  delete engine;
+  EngineImpl* impl = impl_of(engine);
+  if (impl->ndb) ctn_db_close(impl->ndb);
+  delete impl;
   ctts_free_normalization();  // matches the reference (ctts.c:1178)
 }
 
@@ -1406,7 +1432,7 @@ int ctts_synthesize(CTTS* engine, const char* text, int16_t** samples,
   std::string ruled = apply_normalization_str(expanded);
   std::string normalized = normalize_lowercase(ruled);
 
-  PlanOps ops = compile_ops(engine->ndb, normalized, cfg);
+  PlanOps ops = compile_ops(impl_of(engine)->ndb, normalized, cfg);
   engine->units_found = ops.units_found;
   engine->units_missing = ops.units_missing;
 
@@ -1433,7 +1459,7 @@ int ctts_synthesize(CTTS* engine, const char* text, int16_t** samples,
   plan.energy_factor = prosody.intonation.energy_factor;
 
   int16_t* out = nullptr;
-  int64_t count = ctn_execute_plan(engine->ndb, &plan, &out);
+  int64_t count = ctn_execute_plan(impl_of(engine)->ndb, &plan, &out);
   if (count < 0) return CTTS_ERR_OUT_OF_MEMORY;
   *samples = out;
   *sample_count = (size_t)count;
@@ -1586,6 +1612,21 @@ int ctts_build_database(const char* letters_dir, const char* letters_index,
   std::fprintf(stderr, "  Total audio samples: %llu\n",
                (unsigned long long)audio_samples);
   return CTTS_OK;
+}
+
+// ---- error strings (ctts.c:149-168) ----
+
+const char* ctts_strerror(int error_code) {
+  static const char* const messages[] = {
+      "Success",          "Invalid argument", "File not found",
+      "File read error",  "File write error", "Invalid format",
+      "Out of memory",    "Invalid WAV file", "Version mismatch",
+  };
+  if (error_code >= 0) return messages[0];
+  int idx = -error_code;
+  if (idx >= (int)(sizeof(messages) / sizeof(messages[0])))
+    return "Unknown error";
+  return messages[idx];
 }
 
 }  // extern "C"

@@ -538,6 +538,13 @@ void ctn_db_close(void* handle) {
   delete db;
 }
 
+void ctn_db_view(void* handle, CtnDbView* out) {
+  auto* db = static_cast<Database*>(handle);
+  out->data = db->data;
+  out->size = db->size;
+  out->fd = db->fd;
+}
+
 uint32_t ctn_db_unit_count(void* handle) {
   return static_cast<Database*>(handle)->header.unit_count;
 }

@@ -1,13 +1,16 @@
 /*
  * ctts.h — drop-in C API for the ctts_tpu framework's native host runtime.
  *
- * ABI-compatible re-declaration of the reference engine's public C
- * interface (parity source: /root/reference/ctts.h:1-340). A program
- * written against the reference header links and runs against
- * libctts.so unchanged: same function names and signatures, same
- * CTTSConfig layout, same database format and error codes. The
- * implementation (csrc/ctts_capi.cpp) is the ctts_tpu native frontend +
- * plan executor, not the reference code.
+ * Source- and ABI-compatible re-declaration of the reference engine's
+ * public C interface (parity source: /root/reference/ctts.h:1-351).
+ * A program written against the reference header — including the
+ * reference's own main(), which reaches into engine->config,
+ * engine->header.unit_count and engine->units_found/missing and calls
+ * ctts_strerror (ctts.c:3990-4015) — compiles, links and runs against
+ * libctts.so unchanged: same struct layouts, same function names and
+ * signatures, same database format and error codes. The implementation
+ * (csrc/ctts_capi.cpp) is the ctts_tpu native frontend + plan executor,
+ * not the reference code.
  *
  * Original implementation for the ctts_tpu project.
  */
@@ -71,10 +74,83 @@ typedef struct {
   int print_timing;
 } CTTSConfig;
 
-/* Opaque engine handle. (The reference exposes its struct publicly;
- * well-behaved callers only pass the pointer through the API below, and
- * the accessors cover the used fields.) */
-typedef struct CTTS CTTS;
+/* ---- database structures, on-disk format (ctts.h:79-112) ---- */
+
+/* Database header — 64 bytes */
+typedef struct {
+  uint32_t magic;             /* CTTS_MAGIC */
+  uint32_t version;           /* CTTS_VERSION */
+  uint32_t unit_count;        /* Number of units */
+  uint32_t sample_rate;       /* Audio sample rate */
+  uint32_t bits_per_sample;   /* Bits per sample (16) */
+  uint32_t index_offset;      /* Offset to index table */
+  uint32_t strings_offset;    /* Offset to string pool */
+  uint32_t audio_offset;      /* Offset to audio data */
+  uint32_t total_samples;     /* Total audio samples */
+  uint32_t max_unit_chars;    /* Maximum unit length in characters */
+  uint32_t hash_table_size;   /* Hash table size for lookups */
+  uint32_t hash_table_offset; /* Offset to hash table */
+  uint8_t reserved[16];       /* Reserved for future use */
+} CTTSHeader;
+
+/* Index entry — 32 bytes per unit (ctts.h:101-112) */
+typedef struct {
+  uint32_t hash;          /* FNV-1a hash of text */
+  uint32_t string_offset; /* Offset into string pool */
+  uint16_t string_len;    /* String length in bytes */
+  uint16_t char_count;    /* Character count (UTF-8 aware) */
+  uint32_t audio_offset;  /* Offset into audio data (in samples) */
+  uint32_t sample_count;  /* Number of samples */
+  uint32_t flags;         /* Reserved flags */
+  uint32_t next_hash;     /* Next entry with same hash (chaining) */
+  uint32_t reserved;      /* Reserved */
+} CTTSIndexEntry;
+
+/* ---- runtime structures (ctts.h:114-155) ---- */
+
+/* Unit descriptor (in-memory) */
+typedef struct {
+  char* text;            /* Unit text (UTF-8) */
+  uint16_t text_len;     /* Text length in bytes */
+  uint16_t char_count;   /* Character count */
+  int16_t* samples;      /* Audio samples */
+  uint32_t sample_count; /* Number of samples */
+  uint32_t hash;         /* Precomputed hash */
+} CTTSUnit;
+
+/* Main engine structure — transparent, matching the reference layout
+ * (ctts.h:128-149) so callers may read engine->header, engine->config,
+ * engine->units_found / units_missing directly. Treat every field as
+ * read-only except `config`. */
+typedef struct CTTS {
+  /* Database mapping */
+  uint8_t* db_data; /* Memory-mapped database */
+  size_t db_size;   /* Database size */
+  int db_fd;        /* File descriptor (for munmap) */
+
+  /* Parsed header */
+  CTTSHeader header;
+
+  /* Pointers into mapped data */
+  CTTSIndexEntry* index; /* Index table */
+  uint32_t* hash_table;  /* Hash table for O(1) lookup */
+  char* strings;         /* String pool */
+  int16_t* audio;        /* Audio data */
+
+  /* Configuration */
+  CTTSConfig config; /* All configuration parameters */
+
+  /* Statistics */
+  uint32_t units_found;   /* Units successfully matched */
+  uint32_t units_missing; /* Units not found (fallback) */
+} CTTS;
+
+/* Synthesis result (ctts.h:151-155) */
+typedef struct {
+  int16_t* samples;    /* Output samples (caller must free) */
+  size_t sample_count; /* Number of samples */
+  size_t capacity;     /* Allocated capacity */
+} CTTSSynthResult;
 
 /* ---- database building (ctts.h:160-181) ---- */
 
@@ -101,8 +177,8 @@ void ctts_set_word_pause(CTTS* engine, float pause_ms);
 void ctts_set_unknown_silence(CTTS* engine, float silence_ms);
 void ctts_set_fades(CTTS* engine, float fade_in_ms, float fade_out_ms);
 
-/* Engine-config access (the reference exposes engine->config directly;
- * these accessors serve the same need through the opaque handle). */
+/* ctts_tpu extensions: accessor forms of the transparent fields, kept
+ * for callers written against the round-2 opaque-handle header. */
 CTTSConfig* ctts_get_config(CTTS* engine);
 uint32_t ctts_units_found(const CTTS* engine);
 uint32_t ctts_units_missing(const CTTS* engine);
@@ -117,7 +193,7 @@ int ctts_load_normalization(const char* csv_file);
 char* ctts_apply_normalization(const char* text);
 void ctts_free_normalization(void);
 
-/* ---- error codes (ctts.h:329-340) ---- */
+/* ---- error codes (ctts.h:329-346) ---- */
 
 #define CTTS_OK 0
 #define CTTS_ERR_INVALID_ARG -1
@@ -127,6 +203,10 @@ void ctts_free_normalization(void);
 #define CTTS_ERR_INVALID_FORMAT -5
 #define CTTS_ERR_OUT_OF_MEMORY -6
 #define CTTS_ERR_INVALID_WAV -7
+#define CTTS_ERR_VERSION -8
+
+/* Get error message for error code (ctts.c:161-168). */
+const char* ctts_strerror(int error_code);
 
 #ifdef __cplusplus
 } /* extern "C" */

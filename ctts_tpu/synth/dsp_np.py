@@ -280,7 +280,7 @@ def estimate_pitch(samples: np.ndarray) -> np.float32:
     e2 = np.einsum("ni,ni->n", shifted, shifted).astype(F32)
 
     norm = np.sqrt(e1 * e2, dtype=F32)
-    corr = np.where(norm > 0, (corr / norm).astype(F32), corr)
+    corr = np.divide(corr, norm, out=corr.copy(), where=norm > 0)
 
     # C keeps the FIRST maximum under strict '>', starting from
     # best_corr = 0.0f — so a non-positive best means "unvoiced".
@@ -629,8 +629,11 @@ def batched_cross_correlation(
     sum_sq2 = F32(np.dot(s2, s2)) * np.ones(n, F32)
 
     denom = np.sqrt(sum_sq1 * sum_sq2, dtype=F32)
-    corr = (sum_prod / denom).astype(F32)
-    return np.where(denom < F32(1.0), F32(0.0), corr)
+    # C computes sum_prod/denom then discards it when denom < 1.0
+    # (ctts.c cross_correlation); the masked divide returns the same
+    # bits on kept lanes without the divide-by-zero RuntimeWarning.
+    return np.divide(sum_prod, denom, out=np.zeros(n, F32),
+                     where=denom >= F32(1.0))
 
 
 def find_best_match_wsola(

@@ -34,16 +34,18 @@ from ctts_tpu.text.rules import NormalizationRules
 
 
 @functools.lru_cache(maxsize=64)
-def _compiled_batch_core(dims: PlanDims, ubuf: int, packed: bool = False):
+def _compiled_batch_core(dims: PlanDims, ubuf: int, packed: bool = False,
+                         mesh=None):
     """Jitted vmapped core: batch axis on the plan arrays, bank shared.
 
     With `packed`, the valid prefix of every sentence is compacted into
     one flat int16 buffer on device (a short scan of window moves at
     cumsum offsets), so the host transfer is sum(out_len) samples instead
     of B·OMAX — the device→host tunnel runs at ~30 MB/s, and the unpacked
-    transfer was 0.52 s/batch in the round-1 profile. Packing is
-    single-device only (a cross-batch cumsum would force collectives on a
-    sharded mesh)."""
+    transfer was 0.52 s/batch in the round-1 profile. Under a mesh the
+    packing runs per shard via shard_map (each device compacts its own
+    rows — no cross-device cumsum, no collectives) and the collector
+    pulls only each shard's valid prefix."""
     core = build_core(dims, ubuf)
     vc = jax.vmap(core, in_axes=(None, None, None, 0))
     if not packed:
@@ -66,9 +68,26 @@ def _compiled_batch_core(dims: PlanDims, ubuf: int, packed: bool = False):
 
         p0 = jnp.zeros(b_n * om, jnp.int16)
         p, _ = lax.scan(place, p0, jnp.arange(b_n))
-        return p, out_len, jnp.sum(ovf)
+        return p, out_len, jnp.sum(ovf)[None]
 
-    return jax.jit(run)
+    if mesh is None:
+        return jax.jit(run)
+
+    from jax.sharding import PartitionSpec as P
+
+    from ctts_tpu.parallel.mesh import DATA_AXIS
+
+    sm = jax.shard_map(
+        run,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(DATA_AXIS)),
+        out_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+        # The body is collective-free (each shard packs its own rows);
+        # the core's internal scans carry replicated-initialized state,
+        # which the varying-manual-axes tracker would reject.
+        check_vma=False,
+    )
+    return jax.jit(sm)
 
 
 def _next_batch_size(n: int, multiple: int) -> int:
@@ -76,7 +95,7 @@ def _next_batch_size(n: int, multiple: int) -> int:
     rounding padded a 72-row batch to 128 — 44% wasted compute; serving
     batch sizes recur, so one cached compile per size is the better
     trade (the persistent XLA cache holds them across runs)."""
-    g = max(multiple, 8)
+    g = int(8 * multiple // np.gcd(8, multiple))  # lcm: mesh-divisible, x8
     return max(-(-n // g) * g, g)
 
 
@@ -234,11 +253,10 @@ class BatchSynthesizer:
             sh = batch_sharding(self.mesh)
             arrays = {k: jax.device_put(v, sh) for k, v in arrays.items()}
 
-        packed = pack and self.mesh is None
-        core = _compiled_batch_core(dims, self.voice.ubuf, packed)
+        core = _compiled_batch_core(dims, self.voice.ubuf, pack, self.mesh)
         out, out_lens, ovf = core(self.voice.bank, self.voice.lengths,
                                   self.voice.gains, arrays)
-        return n, packed, out, out_lens, ovf
+        return n, pack, out, out_lens, ovf
 
     def _collect_bucket(self, handle):
         n, packed, out, out_lens, ovf = handle
@@ -250,6 +268,8 @@ class BatchSynthesizer:
             print(f"ctts_tpu: {n_ovf} region(s) exceeded the silence "
                   "segment table; remainder kept uncompacted",
                   file=sys.stderr)
+        if packed and self.mesh is not None:
+            return self._collect_packed_sharded(n, out, out_lens)
         if packed:
             ends = np.cumsum(out_lens)
             flat = np.asarray(out[: int(ends[-1])])  # transfer valid prefix
@@ -261,3 +281,31 @@ class BatchSynthesizer:
         return [
             out[i, : int(out_lens[i])].astype(np.int16) for i in range(n)
         ]
+
+    def _collect_packed_sharded(self, n, out, out_lens):
+        """Pull each device shard's valid prefix of the per-shard packed
+        buffer; rows are block-partitioned in input order by the batch
+        sharding, so concatenating shard extractions preserves order."""
+        bsz = out_lens.shape[0]
+        ndev = self.mesh.devices.size
+        rows_per = bsz // ndev
+        om = out.shape[0] // bsz
+        parts: list[Optional[np.ndarray]] = [None] * ndev
+        for shard in out.addressable_shards:
+            start = shard.index[0].start or 0
+            d = start // (rows_per * om)
+            lens_d = out_lens[d * rows_per:(d + 1) * rows_per]
+            tot = int(lens_d.sum())
+            parts[d] = (np.asarray(shard.data[:tot]) if tot
+                        else np.zeros(0, np.int16))
+        results = []
+        for d in range(ndev):
+            lens_d = out_lens[d * rows_per:(d + 1) * rows_per]
+            ends = np.cumsum(lens_d)
+            flat = parts[d]
+            for j in range(rows_per):
+                if len(results) == n:
+                    return results
+                results.append(
+                    flat[int(ends[j] - lens_d[j]): int(ends[j])])
+        return results[:n]

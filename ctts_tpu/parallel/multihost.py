@@ -57,14 +57,23 @@ def local_slice(n_items: int, num_processes: int, process_id: int) -> range:
 
 
 def synthesize_across_hosts(batcher, texts: Sequence[str],
-                            speed: float = 1.0):
-    """Synthesize `texts` across all processes; returns the full list of
-    int16 arrays on every process (input order).
+                            speed: float = 1.0,
+                            return_local: bool = False):
+    """Synthesize `texts` across all processes.
 
     `batcher` is a BatchSynthesizer built over the LOCAL mesh (or None
-    mesh for single-device hosts). Outputs are exchanged over DCN with a
-    fixed-width int32 all-gather (lengths) + padded int16 all-gather
-    (samples) via jax.experimental.multihost_utils.
+    mesh for single-device hosts). By default the per-sentence outputs
+    are exchanged over DCN so every process returns the full corpus
+    (input order). With `return_local=True` the gather is skipped
+    entirely — returns `(indices, outputs)` for this process's slice,
+    zero cross-host traffic — for callers that write their own shard
+    (e.g. per-host WAV writers).
+
+    The exchange packs each process's outputs into one flat int16 buffer
+    (concatenated valid samples, no per-sentence padding) padded only to
+    the largest *process total*, so with the balanced block partition the
+    all-gather moves O(total audio) bytes — not O(processes × global max
+    sentence) as a per-sentence padded gather would.
     """
     import jax
     from jax.experimental import multihost_utils
@@ -74,29 +83,34 @@ def synthesize_across_hosts(batcher, texts: Sequence[str],
     mine = local_slice(len(texts), nproc, pid)
 
     outs = batcher.synthesize([texts[i] for i in mine], speed=speed)
+    if return_local:
+        return list(mine), outs
 
-    # Fixed-width exchange: every process contributes the same-shaped
-    # buffers (all-gather needs static shapes).
-    max_per_proc = (len(texts) + nproc - 1) // nproc
-    width = 1
-    for o in outs:
-        width = max(width, int(o.shape[0]))
-    width = int(
-        multihost_utils.process_allgather(np.asarray([width])).max()
-    )
+    # Meta round: per-process sentence count + flat sample total (tiny).
+    n_local = len(outs)
+    total_local = int(sum(int(o.shape[0]) for o in outs))
+    meta = multihost_utils.process_allgather(
+        np.asarray([n_local, total_local], np.int64))       # [P, 2]
+    max_count = int(meta[:, 0].max())
+    max_total = int(meta[:, 1].max())
 
-    lens = np.zeros(max_per_proc, np.int32)
-    buf = np.zeros((max_per_proc, width), np.int16)
+    lens = np.zeros(max_count, np.int32)
+    flat = np.zeros(max(max_total, 1), np.int16)
+    off = 0
     for j, o in enumerate(outs):
         lens[j] = o.shape[0]
-        buf[j, : o.shape[0]] = o
+        flat[off: off + o.shape[0]] = o
+        off += o.shape[0]
 
-    all_lens = multihost_utils.process_allgather(lens)    # [P, max_per]
-    all_buf = multihost_utils.process_allgather(buf)      # [P, max_per, W]
+    all_lens = multihost_utils.process_allgather(lens)      # [P, max_count]
+    all_flat = multihost_utils.process_allgather(flat)      # [P, max_total]
 
     results = [None] * len(texts)
     for p in range(nproc):
         sl = local_slice(len(texts), nproc, p)
+        off = 0
         for j, i in enumerate(sl):
-            results[i] = all_buf[p, j, : int(all_lens[p, j])]
+            ln = int(all_lens[p, j])
+            results[i] = all_flat[p, off: off + ln]
+            off += ln
     return results

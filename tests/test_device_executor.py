@@ -275,6 +275,30 @@ def test_stream_matches_synthesize(voice_db):
             assert np.array_equal(o, w), t
 
 
+def test_stream_matches_synthesize_on_mesh(voice_db):
+    """Packed serving under the 8-device mesh (per-shard shard_map
+    packing): stream must equal synthesize, and both must equal the
+    no-mesh packed result — proving the sharded packed transfer path."""
+    from ctts_tpu.parallel.batch import BatchSynthesizer
+    from ctts_tpu.parallel.mesh import make_mesh
+
+    db = VoiceDatabase(voice_db)
+    config = config_defaults()
+    bs = BatchSynthesizer(db, config, mesh=make_mesh())
+    bs_plain = BatchSynthesizer(db, config)
+
+    batches = [["como vai", "bom dia. tudo bem.", "que legal", "a rosa",
+                "vamos", "oi", "nada", "sim claro", "mais um"]]
+    got = list(bs.stream(iter(batches)))
+    want = bs.synthesize(batches[0])
+    plain = bs_plain.synthesize(batches[0])
+    assert len(got) == 1 and len(got[0]) == len(want)
+    for t, o, w, p in zip(batches[0], got[0], want, plain):
+        assert o.shape == w.shape == p.shape, t
+        assert np.array_equal(o, w), t
+        assert np.array_equal(o, p), t
+
+
 def test_silence_table_overflow_graceful():
     """Pathological audio with more kept segments than the NBLK table:
     the overflow flag is raised and the remainder stays uncompacted (no

@@ -39,10 +39,22 @@ local = jax.local_devices()
 bs = BatchSynthesizer(db, config_defaults(),
                       mesh=make_mesh(local) if len(local) > 1 else None)
 
-TEXTS = ["como vai", "bom dia", "que legal", "a rosa",
+# Asymmetric lengths: process 0's block holds the long paragraph, so the
+# flat-packed exchange pads only to the larger process TOTAL, never to a
+# global per-sentence max width.
+TEXTS = ["bom dia. que legal ver a rosa e o rato no mato de manhã.",
+         "bom dia", "que legal", "a rosa",
          "vamos", "sim claro", "oi", "nada"]
 outs = synthesize_across_hosts(bs, TEXTS)
 assert len(outs) == len(TEXTS)
+
+# return_local skips the gather: local indices + local outputs only,
+# matching the gathered results row for row.
+idx, local_outs = synthesize_across_hosts(bs, TEXTS, return_local=True)
+assert len(idx) == len(local_outs) and len(idx) < len(TEXTS)
+for i, o in zip(idx, local_outs):
+    assert np.array_equal(o, outs[i]), i
+
 if pid == 0:
     np.savez(outp, **{str(i): o for i, o in enumerate(outs)})
 print(f"proc {pid} OK", flush=True)
@@ -97,7 +109,8 @@ def test_two_process_dcn_dispatch(voice_db, tmp_path):
 
     data = np.load(outp)
     db = VoiceDatabase(voice_db)
-    texts = ["como vai", "bom dia", "que legal", "a rosa",
+    texts = ["bom dia. que legal ver a rosa e o rato no mato de manhã.",
+             "bom dia", "que legal", "a rosa",
              "vamos", "sim claro", "oi", "nada"]
     for i, t in enumerate(texts):
         got = data[str(i)]

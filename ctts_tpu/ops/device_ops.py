@@ -33,6 +33,107 @@ PITCH_ANALYSIS = SAMPLE_RATE // 100  # 220
 _PITCH_SPAN = PITCH_MAX_LAG + PITCH_ANALYSIS  # 495
 
 
+def _pitch_backend() -> str:
+    """Pitch-correlation backend: the Pallas kernel (ops/pallas/pitch.py)
+    beats the 1-D conv's ~28 ms dispatch-latency floor ~20x on TPU; the
+    grouped conv remains the portable/oracle-matching fallback (CPU
+    tests, and any backend without Mosaic). Both produce bit-identical
+    exact integers (tests/test_pallas_pitch.py)."""
+    import os
+
+    choice = os.environ.get("CTTS_PITCH_BACKEND", "auto")
+    if choice != "auto":
+        return choice
+    import jax
+
+    return "pallas" if jax.default_backend() != "cpu" else "conv"
+
+
+def estimate_pitch_batch(segs: jnp.ndarray, counts: jnp.ndarray,
+                         backend: str | None = None) -> jnp.ndarray:
+    """Batched estimate_pitch (ctts.c:1899-1943) over segs[n, _PITCH_SPAN]
+    analysis segments with per-row live counts. One dispatch for the
+    whole batch (the conv op's latency floor made per-row vmapping the
+    dominant compose cost)."""
+    from ctts_tpu.ops.exact import combine_exact, split_hi_lo
+
+    n = segs.shape[0]
+    max_lag = jnp.minimum(PITCH_MAX_LAG, counts // 2)            # [n]
+    analysis_len = jnp.minimum(PITCH_ANALYSIS, counts - max_lag)
+
+    i = jnp.arange(PITCH_ANALYSIS)
+    mask_i = (i[None, :] < analysis_len[:, None]).astype(F32)
+    base_m = segs[:, :PITCH_ANALYSIS] * mask_i
+
+    backend = backend or _pitch_backend()
+    if backend.startswith("pallas"):
+        from ctts_tpu.ops.pallas.pitch import (
+            KW, SEGW, pitch_corr_components,
+        )
+
+        segp = jnp.concatenate(
+            [segs, jnp.zeros((n, SEGW - _PITCH_SPAN), F32)], axis=1)
+        bh, bl = split_hi_lo(base_m)
+        pad = jnp.zeros((n, KW - PITCH_ANALYSIS), F32)
+        chh, cmid, cll, ehh, ehl, ell = pitch_corr_components(
+            segp,
+            jnp.concatenate([bh, pad], axis=1),
+            jnp.concatenate([bl, pad], axis=1),
+            jnp.concatenate([mask_i, pad], axis=1),
+            interpret=(backend == "pallas_interpret"),
+        )
+        corr_all = combine_exact(chh, cmid, cll, 256.0)[:, :PITCH_MAX_LAG + 1]
+        e2_all = combine_exact(ehh, ehl, ell, 512.0)[:, :PITCH_MAX_LAG + 1]
+    else:
+        sh, sl = split_hi_lo(segs)
+        bh, bl = split_hi_lo(base_m)
+        hh_h, hh_l = split_hi_lo(sh * sh)
+        hl_h, hl_l = split_hi_lo(sh * sl)
+        ll_h, ll_l = split_hi_lo(sl * sl)
+        inp = jnp.stack([sh, sh, sl, sl,
+                         hh_h, hh_l, hl_h, hl_l, ll_h, ll_l], axis=1)
+        ker = jnp.stack([bh, bl, bh, bl] + [mask_i] * 6, axis=1)
+
+        def one(inp_n, ker_n):
+            return lax.conv_general_dilated(
+                inp_n[None], ker_n[:, None, :], window_strides=(1,),
+                padding="VALID", feature_group_count=10,
+                dimension_numbers=("NCH", "OIH", "NCH"),
+            )[0]
+
+        ch = jax.vmap(one)(inp, ker)                     # [n, 10, 276]
+        corr_all = combine_exact(ch[:, 0], ch[:, 1] + ch[:, 2],
+                                 ch[:, 3], 256.0)
+        e_hh = F32(256.0) * ch[:, 4] + ch[:, 5]
+        e_hl = F32(256.0) * ch[:, 6] + ch[:, 7]
+        e_ll = F32(256.0) * ch[:, 8] + ch[:, 9]
+        e2_all = combine_exact(e_hh, e_hl, e_ll, 512.0)
+
+    b_h, b_l = split_hi_lo(base_m)
+    e1 = combine_exact(
+        jnp.sum(b_h * b_h, axis=1), jnp.sum(b_h * b_l, axis=1),
+        jnp.sum(b_l * b_l, axis=1), 512.0,
+    )
+
+    lags = jnp.arange(PITCH_MIN_LAG, PITCH_MAX_LAG + 1)
+    corr = corr_all[:, PITCH_MIN_LAG:]
+    e2 = e2_all[:, PITCH_MIN_LAG:]
+
+    norm = jnp.sqrt(e1[:, None] * e2)
+    corr = jnp.where(norm > 0, corr / norm, corr)
+    corr = jnp.where(lags[None, :] <= max_lag[:, None], corr,
+                     F32(-jnp.inf))
+
+    best = jnp.argmax(corr, axis=1)
+    best_corr = jnp.take_along_axis(corr, best[:, None], axis=1)[:, 0]
+    best_lag = lags[best].astype(F32)
+    pitch = jnp.where(best_corr > F32(0.3),
+                      F32(SAMPLE_RATE) / best_lag, F32(0.0))
+    usable = ((counts >= 200) & (analysis_len > 0)
+              & (max_lag >= PITCH_MIN_LAG))
+    return jnp.where(usable, pitch, F32(0.0))
+
+
 def _pitch_from_segment(seg: jnp.ndarray, count: jnp.ndarray) -> jnp.ndarray:
     """Shared pitch search: `seg` is [_PITCH_SPAN] holding the analysis
     region's first 495 samples (zero-padded past `count` is fine — masks

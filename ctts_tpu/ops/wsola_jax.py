@@ -119,6 +119,7 @@ def time_stretch_device(
     speed: jnp.ndarray,
     out_size: int,
     hop: int,
+    unroll: int = 4,
 ):
     """Stretch inp[:input_count] by `speed` (with static synthesis hop
     `hop` = synthesis_hop_for_speed(speed)); returns (out, out_len).
@@ -126,6 +127,25 @@ def time_stretch_device(
     `out_size` must be ≥ num_frames * hop + FRAME + 1024 for the bucket's
     hop (device._omax_for sizes it; ≈ 2·len(inp) only at speed 0.5).
     When |speed-1| < 0.01 the input is passed through (ctts.c:3497-3503).
+
+    Structure: the sequential part is ONLY the offset-selection chain.
+    The scan carries two scalars (previous chosen offset + have_prev) and
+    emits each frame's windowed contribution; the OLA accumulation into
+    the output/normalization buffers happens OUTSIDE the scan as Jp =
+    ceil(FRAME/hop) shifted block adds (synth positions are k*hop, k
+    static). That removes the 4 out/norm slice+update memory ops and the
+    2·out_size carry from every step — per-step cost on this backend
+    tracks the count of non-fusable memory ops, not FLOPs.
+
+    OLA-outside parity argument (bit-exact vs the sequential C order,
+    ctts.c:3552-3566): the output adds are int16 wrapping adds of
+    int16-valued contributions; ≤ 8 frames overlap any sample, so the
+    f32 partial sums stay exact integers (< 2^19) and wrapping once at
+    the end equals wrapping after every add (mod-2^16 homomorphism). The
+    norm adds are genuine f32 ops whose ORDER matters: accumulating the
+    shifted blocks in DESCENDING j applies frames in ascending k at
+    every output position — the C's exact order (non-run frames add
+    +0.0, which preserves value and sign for the non-negative norm).
     """
     S = inp.shape[0]
     window = hann(FRAME)
@@ -133,12 +153,10 @@ def time_stretch_device(
     speed = jnp.clip(speed, F32(0.5), F32(2.0))
     passthrough = jnp.abs(speed - F32(1.0)) < F32(0.01)
 
-    synthesis_hop = hop
-
     num_frames = jnp.where(
         input_count > FRAME, (input_count - FRAME) // AHOP + 1, 1
     )
-    alloc = num_frames * synthesis_hop + FRAME + 1024  # dynamic logical cap
+    alloc = num_frames * hop + FRAME + 1024  # dynamic logical cap
 
     max_steps = (S - FRAME) // AHOP + 2 if S > FRAME else 2
     # Static cap from the output capacity as well.
@@ -155,22 +173,29 @@ def time_stretch_device(
     sq_pad = jnp.concatenate([sq, jnp.zeros(_WIN_W, F32)])
 
     io = jnp.arange(NCAND)
+    ks = jnp.arange(max_steps)
+    # Frame-run flags, precomputed outside the scan ([T] vector ops).
+    run_all = ((ks * AHOP + FRAME <= input_count)
+               & (ks * hop + FRAME <= alloc)
+               & (ks * hop + FRAME <= out_size))
 
-    def step(carry, k):
-        out, norm, qo_prev, have_prev, actual_len = carry
+    def step(carry, xs):
+        qo_prev, have_prev = carry
+        k, run = xs
         nominal = k * AHOP
-        synth_pos = k * synthesis_hop
-
-        run = (nominal + FRAME <= input_count) & (synth_pos + FRAME <= alloc) \
-            & (synth_pos + FRAME <= out_size)
 
         # Window covering candidate offsets [-128, 128] + FRAME samples;
         # padded position of offset o's window start is nominal + o + 128
         # = win768 index o (win768 starts at padded pos nominal).
         win768 = lax.dynamic_slice(inp_pad, (nominal,), (_WIN_W,))
         wh, wl = split_hi_lo(win768)
-        mh = _stack_windows(wh, OVERLAP)   # [257, 384]
-        ml = _stack_windows(wl, OVERLAP)
+        # ONE FRAME-wide stack pair serves both the search (its OVERLAP
+        # prefix) and the frame fetch — same elements as the old
+        # OVERLAP+AHOP stack pairs, half the slice ops.
+        fh = _stack_windows(wh, FRAME)     # [257, 512]
+        fl = _stack_windows(wl, FRAME)
+        mh = fh[:, :OVERLAP]               # [257, 384] views
+        ml = fl[:, :OVERLAP]
 
         # Previous frame's tail = OVERLAP window at padded position
         # prev_actual + AHOP = (nominal - AHOP + off_prev) + AHOP
@@ -203,50 +228,60 @@ def time_stretch_device(
         )
         actual = jnp.maximum(actual, 0)
 
-        # Frame fetch: one-hot picks from the split stacks (the frame at
-        # offset d starts at win768 index d + MAX_SHIFT). Its first
-        # OVERLAP samples ride the already-built mh/ml stacks; the last
-        # AHOP samples need only a narrow extra stack pair — 20% less
-        # stack materialization than a dedicated [257, FRAME] raw stack.
+        # Frame fetch: one-hot pick from the FRAME-wide stacks (the frame
+        # at offset d starts at win768 index d + MAX_SHIFT).
         # Reconstruction 256*hi + lo of the exact picks is exact in f32.
         onehot_f = (io == (actual - nominal + MAX_SHIFT)).astype(F32)
-        s2h = _stack_windows(lax.slice(wh, (OVERLAP,), (_WIN_W,)), AHOP)
-        s2l = _stack_windows(lax.slice(wl, (OVERLAP,), (_WIN_W,)), AHOP)
-        frame = jnp.concatenate([
-            F32(256.0) * (onehot_f @ mh) + onehot_f @ ml,
-            F32(256.0) * (onehot_f @ s2h) + onehot_f @ s2l,
-        ])
-        contrib = trunc16(frame * window)
-
-        seg = lax.dynamic_slice(out, (synth_pos,), (FRAME,))
-        seg = wrap16(seg + jnp.where(run, contrib, F32(0.0)))
-        out = lax.dynamic_update_slice(out, seg, (synth_pos,))
-
-        nseg = lax.dynamic_slice(norm, (synth_pos,), (FRAME,))
-        nseg = nseg + jnp.where(run, window, F32(0.0))
-        norm = lax.dynamic_update_slice(norm, nseg, (synth_pos,))
+        frame = F32(256.0) * (onehot_f @ fh) + onehot_f @ fl
+        contrib = jnp.where(run, trunc16(frame * window), F32(0.0))
 
         # Next step's window starts AHOP later: qo = actual + AHOP
         # relative to (nominal + AHOP) - MAX_SHIFT.
         qo = actual - nominal + MAX_SHIFT
         qo_prev = jnp.where(run, qo, qo_prev)
         have_prev = have_prev | run
-        actual_len = jnp.where(run, jnp.maximum(actual_len, synth_pos + FRAME),
-                               actual_len)
-        return (out, norm, qo_prev, have_prev, actual_len), None
+        return (qo_prev, have_prev), contrib
 
-    out0 = jnp.zeros(out_size, F32)
-    norm0 = jnp.zeros(out_size, F32)
     # NOTE: a while_loop bounded by the input's own frame count was
     # tried and is 4.5x SLOWER under vmap: heterogeneous per-lane trip
-    # counts make the batching rule select the ENTIRE carry (out+norm,
-    # ~46 MB/batch) every step. The static scan's extra steps are cheap
-    # masked no-ops by comparison.
-    (out, norm, _, _, actual_len), _ = lax.scan(
+    # counts make the batching rule select the ENTIRE carry every joint
+    # step. The static scan's extra steps are cheap masked no-ops.
+    _, contribs = lax.scan(
         step,
-        (out0, norm0, jnp.int32(0), jnp.array(False), jnp.array(0)),
-        jnp.arange(max_steps),
+        (jnp.int32(0), jnp.array(False)),
+        (ks, run_all),
+        unroll=unroll,
     )
+
+    # --- OLA outside the scan: Jp shifted block adds ---------------------
+    Jp = -(-FRAME // hop)                  # frames overlapping a sample
+    padw = Jp * hop
+    nb_out = -(-out_size // hop)
+    nrows = max(nb_out, max_steps + Jp)
+    cp = jnp.zeros((nrows, padw), F32)
+    cp = cp.at[:max_steps, :FRAME].set(contribs)
+    wrun = jnp.where(run_all[:, None], window[None, :], F32(0.0))
+    wr = jnp.zeros((nrows, padw), F32)
+    wr = wr.at[:max_steps, :FRAME].set(wrun)
+
+    acc = jnp.zeros((nrows, hop), F32)
+    nacc = jnp.zeros((nrows, hop), F32)
+    for j in reversed(range(Jp)):          # descending j = ascending k
+        blk = lax.slice(cp, (0, j * hop), (nrows, (j + 1) * hop))
+        nblk = lax.slice(wr, (0, j * hop), (nrows, (j + 1) * hop))
+        if j == 0:
+            acc = acc + blk
+            nacc = nacc + nblk
+        else:
+            acc = acc.at[j:].add(blk[:nrows - j])
+            nacc = nacc.at[j:].add(nblk[:nrows - j])
+    out = wrap16(acc.reshape(-1)[:out_size])
+    norm = nacc.reshape(-1)[:out_size]
+
+    # actual_len = (last run frame)*hop + FRAME (0 when no frame ran).
+    any_run = jnp.any(run_all)
+    last_k = jnp.max(jnp.where(run_all, ks, -1))
+    actual_len = jnp.where(any_run, last_k * hop + FRAME, 0)
 
     good = norm > F32(0.01)
     val = q16(out / jnp.where(good, norm, F32(1.0)))

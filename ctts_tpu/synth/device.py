@@ -715,18 +715,28 @@ def build_core(dims: PlanDims, ubuf: int, stage: str = "full"):
         """Batched boundary DSP (smooth_pitch_boundary +
         match_boundary_energy) from the scan-exported (pitch segment,
         tail) window pairs. Operates on the precomputed base heads — no
-        bank access."""
+        bank access. `windows` is the stacked [U, 2*CFMAX+512] export
+        (one slice per scan step); the pitch segment sits `analysis`
+        back from index 2*CFMAX and the energy tail is the static
+        [CFMAX, 2*CFMAX) span. The tail-pitch search runs as ONE batched
+        dispatch over all slots (single Pallas kernel / conv call)."""
+        ana = ar["unit_analysis"]
+        segs = jax.vmap(
+            lambda w, a: lax.dynamic_slice(
+                w, (2 * CFMAX - a,), (dops._PITCH_SPAN,))
+        )(windows, ana)
+        tails = windows[:, CFMAX:2 * CFMAX]
+        prev_pitches = dops.estimate_pitch_batch(segs, ana)
 
         def one(k, seg, prev_tail):
             n = ar["_unit_n"][k]
             head = base[k][:CFMAX]
             it = jnp.arange(CFMAX)
 
-            analysis = ar["unit_analysis"][k]
             do_boundary = ar["unit_smooth"][k] & (ar["unit_boundary"][k] > 0)
             do_smooth = do_boundary & ar["unit_prev_ok"][k] & (n >= 200)
 
-            prev_pitch = dops._pitch_from_segment(seg, analysis)
+            prev_pitch = prev_pitches[k]
             next_pitch = ar["_next_pitch"][k]
             voiced = (prev_pitch > 0) & (next_pitch > 0)
             ratio = next_pitch / jnp.where(prev_pitch > 0, prev_pitch,
@@ -764,7 +774,6 @@ def build_core(dims: PlanDims, ubuf: int, stage: str = "full"):
             head = jnp.where((it < blen) & do_energy, q16(head * egain), head)
             return head
 
-        segs, tails = windows
         return jax.vmap(one)(jnp.arange(dims.U), segs, tails)
 
     def core(bank, bank_lens, gains, ar):
@@ -777,11 +786,12 @@ def build_core(dims: PlanDims, ubuf: int, stage: str = "full"):
         base, fo, fi = prepare_base(bank, bank_lens, gains, ar)
 
         # Per-unit pitch of the unit head is independent of composition —
-        # hoist it out of the sequential scan (vectorized over slots).
-        next_pitches = jax.vmap(
-            lambda k: dops.estimate_pitch_head(base[k],
-                                               ar["unit_analysis"][k])
-        )(jnp.arange(dims.U))
+        # hoist it out of the sequential scan, one batched dispatch for
+        # all slots (the conv path has a per-dispatch latency floor; the
+        # Pallas path is one kernel either way).
+        next_pitches = dops.estimate_pitch_batch(
+            base[:, :dops._PITCH_SPAN], ar["unit_analysis"]
+        )
         if stage == "head_pitch":
             return _ck(next_pitches)
         ar["_next_pitch"] = next_pitches
@@ -798,6 +808,15 @@ def build_core(dims: PlanDims, ubuf: int, stage: str = "full"):
             off + UBUF ≤ MARGIN + region_len + bank_w ≤ WREG."""
             iu = jnp.arange(ubuf)
 
+            # Every non-fusable memory op in the step body costs ~0.3 ms
+            # of per-step overhead on this backend (elementwise chains
+            # fuse; slices/updates do not), so the step keeps exactly
+            # three: the unit window read (whose CFMAX prefix doubles as
+            # the crossfade tail), ONE boundary-analysis export window
+            # (the pitch segment and energy tail are carved out of it
+            # OUTSIDE the scan, batched), and the write.
+            EXPW = 2 * CFMAX + 512
+
             def step(flat, k):
                 active = ar["unit_id"][k] >= 0
                 base_off = (ar["unit_region"][k] * dims.WREG
@@ -806,31 +825,28 @@ def build_core(dims: PlanDims, ubuf: int, stage: str = "full"):
                 n = ar["_unit_n"][k]
                 x = contrib[k]
                 if export_windows:
-                    # Boundary DSP needs only the pitch segment (the
-                    # _PITCH_SPAN window starting `analysis` back from
-                    # the write point — content beyond it is still
-                    # zeros, bit-matching the old zero-padded window)
-                    # and the CFMAX tail, not a WIN-wide export.
-                    ana = ar["unit_analysis"][k]
-                    seg = lax.dynamic_slice(
-                        flat, (base_off + cf - ana,), (dops._PITCH_SPAN,)
+                    # [write_pt - 2*CFMAX, write_pt + 512) covers the
+                    # pitch segment (starts `analysis` ≤ 2*CFMAX back,
+                    # _PITCH_SPAN ≤ ana + 512 wide) and the CFMAX energy
+                    # tail. MARGIN ≥ 2*CFMAX keeps the read in-row.
+                    win = lax.dynamic_slice(
+                        flat, (base_off + cf - 2 * CFMAX,), (EXPW,)
                     )
-                    ptail = lax.dynamic_slice(
-                        flat, (base_off + cf - CFMAX,), (CFMAX,)
-                    )
-                    win = (seg, ptail)
                 else:
                     win = jnp.zeros((), F32)
-                tail = lax.dynamic_slice(flat, (base_off,), (CFMAX,))
-                mixed = q16(trunc16(tail * fo[k] + x[:CFMAX]))
-                x = jnp.where(iu < cf, jnp.pad(mixed, (0, ubuf - CFMAX)), x)
                 cur = lax.dynamic_slice(flat, (base_off,), (ubuf,))
+                mixed = q16(trunc16(cur[:CFMAX] * fo[k] + x[:CFMAX]))
+                x = jnp.where(iu < cf, jnp.pad(mixed, (0, ubuf - CFMAX)), x)
                 neww = jnp.where((iu < n) & active, x, cur)
                 flat = lax.dynamic_update_slice(flat, neww, (base_off,))
                 return flat, win
 
+            import os as _os
+
+            unroll = int(_os.environ.get("CTTS_SCAN_UNROLL", "1"))
             flat0 = jnp.zeros(dims.R * dims.WREG, F32)
-            flat, wins = lax.scan(step, flat0, jnp.arange(dims.U))
+            flat, wins = lax.scan(step, flat0, jnp.arange(dims.U),
+                                  unroll=unroll)
             return flat.reshape(dims.R, dims.WREG), wins
 
         if stage == "contrib":

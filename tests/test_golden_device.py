@@ -1,0 +1,94 @@
+"""Golden acceptance suite on the DEVICE (JAX) executor: all 120 corpus
+utterances — including every speed-sweep point — through BatchSynthesizer
+(the production TPU path), diffed against the C reference binary within
+the driver's 1e-3 max-abs waveform budget (BASELINE.json:5; normalized
+full-scale units, so 1e-3 → 32 LSB), with a bounded per-utterance sample
+budget for the reference's own heap-OOB poisoning
+(tests/test_waveform_parity.py::test_reference_oob_read_tolerance).
+
+Batched per distinct speed so the whole corpus shares a handful of XLA
+specializations (runs on the 8-device CPU mesh config from conftest).
+"""
+
+import shutil
+import subprocess
+from collections import defaultdict
+
+import numpy as np
+import pytest
+
+from ctts_tpu.config import load_config
+from ctts_tpu.db.reader import VoiceDatabase
+from ctts_tpu.parallel.batch import BatchSynthesizer
+from ctts_tpu.testing.corpus import CORPUS
+from ctts_tpu.text.rules import NormalizationRules
+from ctts_tpu.utils.wav import read_wav
+
+BUDGET = 1e-3  # driver north star: max-abs vs C, normalized full scale
+LSB_BUDGET = int(BUDGET * 32768)  # 32
+
+
+@pytest.mark.slow
+def test_golden_120_corpus_device(ref_build, voice_db, tmp_path):
+    workdir = tmp_path
+    shutil.copy("/root/reference/config.yaml", workdir / "config.yaml")
+    shutil.copy("/root/reference/normalization.csv",
+                workdir / "normalization.csv")
+
+    db = VoiceDatabase(voice_db)
+    config = load_config(workdir / "config.yaml")
+    rules = NormalizationRules.load(
+        str(workdir / "normalization.csv"), verbose=False, flavor="glibc"
+    )
+    # Without a floor the corpus fragments into 62 buckets (one XLA
+    # compile each — hours on this 1-core host); the floor collapses
+    # every non-stretch sentence into one bucket and each speed-sweep
+    # point into its own (static synthesis hop ⇒ per-speed buckets).
+    floor = {"U": 64, "R": 32, "FD": 8, "WREG": 65536, "SMAX": 262144,
+             "CONTW": 32768, "WIN": 8192, "CFMAX": 4096}
+    bs = BatchSynthesizer(db, config, rules=rules, dims_floor=floor)
+
+    # Group utterances by CLI-clamped speed; one batched dispatch each.
+    by_speed = defaultdict(list)
+    for i, (fname, text, speed) in enumerate(CORPUS):
+        cli_speed = min(max(float(np.float32(speed)), 0.5), 2.0)
+        by_speed[cli_speed].append(i)
+
+    outs = [None] * len(CORPUS)
+    for speed, idxs in by_speed.items():
+        got = bs.synthesize([CORPUS[i][1] for i in idxs], speed=speed)
+        for i, o in zip(idxs, got):
+            outs[i] = o
+
+    failures = []
+    oob_budget_hits = 0
+    for i, (fname, text, speed) in enumerate(CORPUS):
+        out = workdir / ("ref_" + fname)
+        subprocess.run(
+            [ref_build["ctts"], "synth", voice_db, text, str(out),
+             str(speed)],
+            capture_output=True, cwd=workdir, check=True,
+        )
+        ref = read_wav(str(out))
+        got = outs[i]
+
+        if ref.shape[0] != got.shape[0]:
+            failures.append(
+                f"{fname}: length {ref.shape[0]} vs {got.shape[0]}")
+            continue
+        diff = np.abs(ref.astype(np.int32) - got.astype(np.int32))
+        bad = int((diff > LSB_BUDGET).sum())
+        if bad > 0:
+            # Reference OOB reads poison a few samples per affected word.
+            if bad <= 64:
+                oob_budget_hits += 1
+            else:
+                failures.append(
+                    f"{fname}: {bad} samples over the 1e-3 budget "
+                    f"(max {diff.max()} LSB)"
+                )
+
+    assert not failures, "\n".join(failures)
+    assert oob_budget_hits < len(CORPUS) // 2, (
+        f"{oob_budget_hits} utterances needed the OOB tolerance"
+    )

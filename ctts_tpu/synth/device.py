@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -92,6 +93,17 @@ class PlanDims:
     # matching the C exactly but serializing one pitch conv per unit
     # slot. The reference semantics ground truth for the refine path.
     exact_compose: bool = True
+
+
+def _compose_backend() -> str:
+    """Placement backend: the Pallas kernel (ops/pallas/compose.py) runs
+    the unit loop in-kernel and beats the vmapped XLA scan 3.5x on TPU;
+    the scan remains the portable lowering (CPU tests, any backend
+    without Mosaic). Both produce identical bits."""
+    choice = os.environ.get("CTTS_COMPOSE_BACKEND", "auto")
+    if choice != "auto":
+        return choice
+    return "pallas" if jax.default_backend() != "cpu" else "xla"
 
 
 def _roundup(x: int, m: int = 128) -> int:
@@ -711,21 +723,92 @@ def build_core(dims: PlanDims, ubuf: int, stage: str = "full"):
 
         return jax.vmap(one)(jnp.arange(dims.U))
 
+    def make_contrib_fn(base, fo, fi, ar):
+        """Split prepare_contrib: everything outside the first CFMAX
+        columns is trip-invariant except a scalar DC shift, so the
+        fixed-point loop only recomputes (a) the per-unit DC offset
+        (head int-sum + precomputed tail int-sum), (b) the CFMAX-wide
+        head chain, and (c) ONE fused masked pass over [U, UBUF] —
+        instead of the full remove_dc/fade chain every trip.
+
+        Bit-exact vs prepare_contrib: the DC total is the same int32
+        sum split at CFMAX; positions ≥ n are zeroed by the final mask
+        in both versions, and every head op (windowed sine fade-in,
+        crossfade fade-in weighting) is applied in the original order
+        on the same dc-removed values."""
+        from ctts_tpu.ops.luts import sine_fade_gain
+
+        n = ar["_unit_n"]                                    # [U]
+        active = ar["unit_id"] >= 0
+        cf_in = ar["unit_cf_in"]
+        fade_in = ar["unit_fade_in"]
+        iu = jnp.arange(ubuf)[None, :]
+        ih = jnp.arange(CFMAX)[None, :]
+        tail_total = jnp.sum(
+            jnp.where((iu >= CFMAX) & (iu < n[:, None]), base,
+                      F32(0.0)).astype(jnp.int32), axis=1)   # [U]
+
+        FW = min(-(-dims.fade_in_samples // 128) * 128, CFMAX)
+        ifw = jnp.arange(FW)[None, :]
+        fade = jnp.minimum(dims.fade_in_samples, n)          # [U]
+        tfw = ifw.astype(F32) * (
+            F32(1.0) / jnp.maximum(fade, 1).astype(F32)[:, None])
+        fade_gain = sine_fade_gain(tfw)                      # [U, FW]
+
+        def contrib_fn(heads):
+            live_h = ih < n[:, None]
+            head_total = jnp.sum(
+                jnp.where(live_h, heads, F32(0.0)).astype(jnp.int32),
+                axis=1)
+            total = head_total + tail_total
+            nn = jnp.maximum(n, 1)
+            dc = jnp.sign(total) * (jnp.abs(total) // nn)
+            dcf = dc.astype(F32)[:, None]
+
+            xh = jnp.where(
+                live_h,
+                jnp.clip(heads - dcf, F32(-32768.0), F32(32767.0)),
+                heads)
+            hf = xh[:, :FW]
+            faded = trunc16(hf * fade_gain)
+            hf = jnp.where((ifw < fade[:, None]) & (fade[:, None] > 0),
+                           faded, hf)
+            xh_fi = jnp.concatenate([hf, xh[:, FW:]], axis=1)
+            xh = jnp.where(fade_in[:, None], xh_fi, xh)
+            head_fi = xh * fi
+            xh = jnp.where((ih < cf_in[:, None]) & (~fade_in[:, None]),
+                           head_fi, xh)
+            xh = jnp.where(live_h & active[:, None], xh, F32(0.0))
+
+            tail = jnp.where(
+                (iu >= CFMAX) & (iu < n[:, None]) & active[:, None],
+                jnp.clip(base - dcf, F32(-32768.0), F32(32767.0)),
+                F32(0.0))
+            return tail.at[:, :CFMAX].set(xh)
+
+        return contrib_fn
+
     def boundary_heads(base, ar, windows):
         """Batched boundary DSP (smooth_pitch_boundary +
         match_boundary_energy) from the scan-exported (pitch segment,
         tail) window pairs. Operates on the precomputed base heads — no
-        bank access. `windows` is the stacked [U, 2*CFMAX+512] export
-        (one slice per scan step); the pitch segment sits `analysis`
-        back from index 2*CFMAX and the energy tail is the static
-        [CFMAX, 2*CFMAX) span. The tail-pitch search runs as ONE batched
-        dispatch over all slots (single Pallas kernel / conv call)."""
+        bank access. `windows` is either the already-carved
+        (segs [U, _PITCH_SPAN], tails [U, CFMAX]) pair (the Pallas
+        kernel emits both aligned in-VMEM) or the stacked
+        [U, 2*CFMAX+512] raw export from the XLA scan (one slice per
+        step; the pitch segment sits `analysis` back from index 2*CFMAX
+        and the energy tail is the static [CFMAX, 2*CFMAX) span). The
+        tail-pitch search runs as ONE batched dispatch over all slots
+        (single Pallas kernel / conv call)."""
         ana = ar["unit_analysis"]
-        segs = jax.vmap(
-            lambda w, a: lax.dynamic_slice(
-                w, (2 * CFMAX - a,), (dops._PITCH_SPAN,))
-        )(windows, ana)
-        tails = windows[:, CFMAX:2 * CFMAX]
+        if isinstance(windows, tuple):
+            segs, tails = windows
+        else:
+            segs = jax.vmap(
+                lambda w, a: lax.dynamic_slice(
+                    w, (2 * CFMAX - a,), (dops._PITCH_SPAN,))
+            )(windows, ana)
+            tails = windows[:, CFMAX:2 * CFMAX]
         prev_pitches = dops.estimate_pitch_batch(segs, ana)
 
         def one(k, seg, prev_tail):
@@ -796,6 +879,35 @@ def build_core(dims: PlanDims, ubuf: int, stage: str = "full"):
             return _ck(next_pitches)
         ar["_next_pitch"] = next_pitches
 
+        def compose_pallas(contrib, fo, export_windows):
+            """Pallas placement: the whole unit loop runs inside ONE
+            kernel program per sentence (ops/pallas/compose.py), so the
+            per-unit read-merge-write costs VMEM ops instead of the
+            ~0.4 ms/step that each batch-varying dynamic slice/update
+            pays in a vmapped XLA scan (tools/microbench_width.py).
+            Bit-identical to compose_scan (tools/microbench_compose.py
+            asserts on-chip equality; tests/test_pallas_compose.py in
+            interpret mode)."""
+            from ctts_tpu.ops.pallas.compose import compose_units
+
+            kubuf = -(-ubuf // 1024) * 1024
+            if kubuf != ubuf:
+                contrib = jnp.concatenate(
+                    [contrib, jnp.zeros((dims.U, kubuf - ubuf), F32)],
+                    axis=1)
+            base_off = (ar["unit_region"] * dims.WREG + ar["unit_off"]
+                        ).astype(jnp.int32)
+            n_eff = jnp.where(ar["unit_id"] >= 0, ar["_unit_n"], 0)
+            interp = os.environ.get("CTTS_PALLAS_INTERPRET") == "1"
+            buf, seg, tail = compose_units(
+                base_off, ar["unit_cf_in"].astype(jnp.int32), n_eff,
+                ar["unit_analysis"].astype(jnp.int32),
+                contrib, fo, U=dims.U, UBUF=kubuf, CFMAX=CFMAX,
+                TOT=dims.R * dims.WREG, export=export_windows,
+                interpret=interp)
+            return (buf.reshape(dims.R, dims.WREG),
+                    (seg[:, :dops._PITCH_SPAN], tail))
+
         def compose_scan(contrib, fo, export_windows):
             """Light placement scan: crossfade-mix + write per unit slot
             (contributions fully prepared); optionally export each unit's
@@ -805,7 +917,15 @@ def build_core(dims: PlanDims, ubuf: int, stage: str = "full"):
             `bufs[r]` with a batch-varying r gathers the whole 32k-wide
             row per step; flat offsets slice only the windows actually
             touched. Writes stay in-row: derive_dims guarantees
-            off + UBUF ≤ MARGIN + region_len + bank_w ≤ WREG."""
+            off + UBUF ≤ MARGIN + region_len + bank_w ≤ WREG.
+
+            On TPU the Pallas kernel replaces this scan (same bits,
+            3.5x faster); this XLA path remains the CPU/test and
+            fallback lowering."""
+            if _compose_backend() == "pallas" and CFMAX % 1024 == 0 \
+                    and (dims.R * dims.WREG) % 1024 == 0 \
+                    and MARGIN >= 2 * CFMAX:
+                return compose_pallas(contrib, fo, export_windows)
             iu = jnp.arange(ubuf)
 
             # Every non-fusable memory op in the step body costs ~0.3 ms
@@ -841,16 +961,14 @@ def build_core(dims: PlanDims, ubuf: int, stage: str = "full"):
                 flat = lax.dynamic_update_slice(flat, neww, (base_off,))
                 return flat, win
 
-            import os as _os
-
-            unroll = int(_os.environ.get("CTTS_SCAN_UNROLL", "1"))
+            unroll = int(os.environ.get("CTTS_SCAN_UNROLL", "1"))
             flat0 = jnp.zeros(dims.R * dims.WREG, F32)
             flat, wins = lax.scan(step, flat0, jnp.arange(dims.U),
                                   unroll=unroll)
             return flat.reshape(dims.R, dims.WREG), wins
 
         if stage == "contrib":
-            contrib = prepare_contrib(base, fo, fi, ar, None)
+            contrib = make_contrib_fn(base, fo, fi, ar)(base[:, :CFMAX])
             return _ck(contrib)
 
         if dims.compose_refine:
@@ -862,18 +980,18 @@ def build_core(dims: PlanDims, ubuf: int, stage: str = "full"):
             # `refine_trips` — no convergence probe, no wasted trip. A
             # final exportless scan then composes with the final heads.
             heads0 = base[:, :CFMAX]
+            contrib_fn = make_contrib_fn(base, fo, fi, ar)
 
             if stage == "scanonly":
                 # Placement scan alone (no window export, no boundary
                 # DSP) — isolates the sequential scan's cost.
-                contrib = prepare_contrib(base, fo, fi, ar, heads0)
-                bufs_1, _ = compose_scan(contrib, fo, False)
+                bufs_1, _ = compose_scan(contrib_fn(heads0), fo, False)
                 return _ck(bufs_1)
 
             if stage == "compose1":
                 # One fixed-point trip (profiling: trip cost vs count).
-                contrib = prepare_contrib(base, fo, fi, ar, heads0)
-                bufs_1, windows = compose_scan(contrib, fo, True)
+                bufs_1, windows = compose_scan(contrib_fn(heads0), fo,
+                                               True)
                 heads_1 = boundary_heads(base, ar, windows)
                 return _ck(bufs_1 + jnp.sum(heads_1))
 
@@ -883,14 +1001,12 @@ def build_core(dims: PlanDims, ubuf: int, stage: str = "full"):
 
             def r_body(carry):
                 heads, it = carry
-                contrib = prepare_contrib(base, fo, fi, ar, heads)
-                _, windows = compose_scan(contrib, fo, True)
+                _, windows = compose_scan(contrib_fn(heads), fo, True)
                 return boundary_heads(base, ar, windows), it + 1
 
             heads, _ = lax.while_loop(r_cond, r_body,
                                       (heads0, jnp.int32(0)))
-            contrib = prepare_contrib(base, fo, fi, ar, heads)
-            bufs, _ = compose_scan(contrib, fo, False)
+            bufs, _ = compose_scan(contrib_fn(heads), fo, False)
         elif dims.exact_compose:
             bufs0 = jnp.zeros((dims.R, dims.WREG), F32)
             bufs, _ = lax.scan(unit_step_fn(bank, bank_lens, gains, ar),

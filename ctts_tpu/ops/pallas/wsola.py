@@ -1,0 +1,276 @@
+"""Pallas TPU kernel for the sequential WSOLA frame chain.
+
+The XLA lowering (ops/wsola_jax.py) runs the offset-selection chain as a
+lax.scan whose per-step cost is backend dispatch overhead (~0.14 ms even
+for batch-invariant memory ops), × a step count padded to the bucket's
+SMAX — ~0.3 s/batch at the bench bucket. This kernel runs the WHOLE
+frame chain inside one program per sentence (vmap → batch grid) with a
+DYNAMIC trip count (only the frames that actually run — the run
+predicate is a prefix, see below), so per-frame cost is VPU/MXU work:
+
+- The 2048-sample window at each nominal position is fetched as a
+  1024-aligned 16-row slice + a flat roll by the remainder.
+- The 65-lag coarse correlation search is a pair of masked matmuls
+  against a stride-4 circulant built from the previous frame's tail:
+  num[c] = Σ_j dup[4c+j]·th[j] decomposes over 128-lane rows into
+  Σ_r (R·Cᵀ_up)[a+r, 32r+b] + (R↓·Cᵀ_lo)[a+r, 32r+b] with
+  Cᵀ[32r+b, w] = th_r[(w-4b) mod 128] — the circulant's mod-128 lane
+  wrap IS pltpu.roll's semantics, so Cᵀ builds in 5 roll-doubling
+  steps. The ±3 fine search is the same construction at unit stride.
+- All decision arithmetic stays EXACT (ops/exact.py scheme): the hi/lo
+  split planes are separate inputs, every partial sum is a subset of
+  ≤768 products of bf16-exact halves (|Σ| < 2^24 ⇒ exact in f32 in any
+  order), and the TwoSum combine yields the correctly rounded f32 of
+  the exact integer — bit-identical to the XLA path and the oracle.
+- Candidate energies come from the same precomputed sliding tables the
+  XLA path uses (sq shifted by +128 so k=0 loads stay in-bounds, plus
+  a stride-4 view for the coarse lags); the previous-tail energy sq2
+  is the table entry at the tail's own position — the same correctly
+  rounded exact integer exact_sumsq_components produces.
+- The chosen frame is fetched by one roll and windowed/truncated
+  in-kernel; OLA accumulation stays OUTSIDE (wsola_jax.py), shared
+  with the XLA lowering.
+
+The run predicate run[k] = (k·AHOP+FRAME ≤ input_count) ∧ (k·hop+FRAME
+≤ alloc) ∧ (k·hop+FRAME ≤ out_size) is non-increasing in k, so the run
+set is a prefix [0, nrun) and `have_prev` ≡ (k > 0) inside the loop.
+
+Reference behavior: ctts.c:3436-3488 (coarse/fine search, strict-'>'
+earliest-offset tie-breaks), 3506-3566 (frame loop); parity asserted
+against the XLA scan by tests/test_pallas_wsola.py (interpret mode) and
+on-chip by tools/microbench_wsola.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ctts_tpu.ops.pallas.compose import flat_roll_left
+
+F32 = jnp.float32
+LANES = 128
+
+FRAME = 512
+AHOP = 128
+OVERLAP = FRAME - AHOP      # 384
+MAX_SHIFT = 128
+NCOARSE = 65                # offsets -128..128 step 4
+
+_LOADW = 2048               # samples fetched per window load (16 rows)
+
+
+def _make_kernel(max_steps):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def load_rolled(ref, pos):
+        """2048 samples starting at `pos` (any traced offset ≥ 0):
+        aligned 16-row slice + flat roll by the ≤1023 remainder."""
+        q8 = (pos // 1024) * 8
+        rem = pos - (pos // 1024) * 1024
+        w = ref[pl.ds(pl.multiple_of(q8, 8), 16), :]
+        return flat_roll_left(w, rem)
+
+    def circulant(th3, stride, steps):
+        """[128, 128] Cᵀ with row 32r+b = th_r lane-rotated right by
+        stride·b, for b < 2^steps (other rows zero). The lane rotation
+        is mod 128 — exactly the circulant index (w - stride·b)."""
+        z31 = jnp.zeros((31, LANES), F32)
+        t = jnp.concatenate([
+            th3[0:1], z31, th3[1:2], z31, th3[2:3], z31,
+            jnp.zeros((32, LANES), F32),
+        ])                                           # rows 0/32/64 = th_r
+        for i in range(steps):
+            m = 1 << i
+            t = t + pltpu.roll(pltpu.roll(t, m, 0), stride * m, 1)
+        return t
+
+    def kernel(scal_ref, ih_ref, il_ref, sqs_ref, sq4_ref, win_ref,
+               out_ref):
+        out_ref[:] = jnp.zeros((max_steps * 8, LANES), F32)
+        input_count = scal_ref[0, 0]
+        nrun = scal_ref[0, 1]
+        win4 = win_ref[:]                            # [4,128] hann(512)
+
+        rowi = lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
+        lanei = lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
+        # Cᵀ is indexed [col, w]: the w-lane contraction splits into the
+        # same-row ("upper", w ≥ stride·b) and next-row parts.
+        b_of_row = rowi % 32
+        up4 = (lanei >= 4 * b_of_row).astype(F32)
+        up1 = (lanei >= b_of_row).astype(F32)
+
+        # Block-3 layout: entry [a, b] (a<3 rows, b<32 lanes) is
+        # candidate 32a + b.
+        ai = lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
+        bi = lax.broadcasted_iota(jnp.int32, (8, LANES), 1)
+        cc = 32 * ai + bi
+        c_ok = (ai < 3) & (bi < 32) & (cc < NCOARSE)
+
+        big = jnp.int32(1 << 30)
+        dn = (((1,), (1,)), ((), ()))                # contract both dim-1
+
+        def gsum(f):
+            """Σ_r f[a+r, 32r+b] → valid at rows a<3, lanes b<32."""
+            return (f + pltpu.roll(pltpu.roll(f, 7, 0), 96, 1)
+                    + pltpu.roll(pltpu.roll(f, 6, 0), 64, 1))
+
+        def corr_at(Rah, Ral, Rbh, Rbl, cth, ctl, up, sq1, sq2):
+            """Exact correlation at the lags encoded by (cth, ctl, up);
+            same op order as the XLA step ⇒ bit-identical corr."""
+            lo = F32(1.0) - up
+            cu_h, cl_h = cth * up, cth * lo
+            cu_l, cl_l = ctl * up, ctl * lo
+
+            def dotT(r, c):
+                return lax.dot_general(r, c, dn,
+                                       preferred_element_type=F32)
+
+            hh = gsum(dotT(Rah, cu_h) + dotT(Rbh, cl_h))
+            mid = gsum(dotT(Rah, cu_l) + dotT(Rbh, cl_l)
+                       + dotT(Ral, cu_h) + dotT(Rbl, cl_h))
+            ll = gsum(dotT(Ral, cu_l) + dotT(Rbl, cl_l))
+            # combine_exact inline (ops/exact.py).
+            a = F32(65536.0) * hh
+            b = F32(256.0) * mid
+            s = a + b
+            bv = s - a
+            e = (a - (s - bv)) + (b - bv)
+            num = s + (e + ll)
+
+            denom = jnp.sqrt(sq1 * sq2)
+            return jnp.where(denom < F32(1.0), F32(0.0), num / denom)
+
+        def first_argmax(corr, idx):
+            """Value + EARLIEST index among ties (= jnp.argmax)."""
+            m = jnp.max(corr)
+            i = jnp.min(jnp.where(corr == m, idx, big))
+            return m, i
+
+        def body(k, qo_prev):
+            nominal = k * AHOP
+            vh = load_rolled(ih_ref, nominal)        # [16,128]
+            vl = load_rolled(il_ref, nominal)
+            sqv = load_rolled(sqs_ref, nominal)      # sqs[nominal + j]
+
+            th_h = flat_roll_left(vh, qo_prev)[:3]   # [3,128] prev tail
+            th_l = flat_roll_left(vl, qo_prev)[:3]
+            # sq2 = exact tail energy = table entry at the tail's padded
+            # position nominal + qo_prev (sqs is shifted by +128). The
+            # [1,1]→scalar reduction makes the later sq1*sq2 a scalar
+            # broadcast (Mosaic lacks a 2-axis vector broadcast).
+            sq2 = jnp.max(flat_roll_left(sqv, qo_prev + MAX_SHIFT
+                                         )[0:1, 0:1])
+
+            # --- coarse: 65 lags, stride 4 ----------------------------
+            ct4h = circulant(th_h, 4, 5)
+            ct4l = circulant(th_l, 4, 5)
+            sv4 = load_rolled(sq4_ref, 32 * k)
+            sq1c = jnp.concatenate([
+                sv4[0:1],
+                flat_roll_left(sv4, 32)[0:1],
+                flat_roll_left(sv4, 64)[0:1],
+                jnp.zeros((5, LANES), F32),
+            ])                                       # [a, b] block-3
+            corr_c = corr_at(vh[:8], vl[:8], vh[1:9], vl[1:9],
+                             ct4h, ct4l, up4, sq1c, sq2)
+            pos_c = nominal + 4 * cc - MAX_SHIFT     # input coords
+            valid_c = c_ok & (pos_c >= 0) & \
+                (pos_c + FRAME <= input_count)
+            corr_c = jnp.where(valid_c, corr_c, -jnp.inf)
+            best_corr, bc = first_argmax(corr_c, jnp.where(c_ok, cc, big))
+            best_off = 4 * bc - MAX_SHIFT
+            none_valid = best_corr == -jnp.inf
+            best_off = jnp.where(none_valid, 0, best_off)
+            best_corr = jnp.where(none_valid, F32(-2.0), best_corr)
+
+            # --- fine: best_off-3 .. +3, center skipped ---------------
+            fidx0 = best_off + MAX_SHIFT - 3         # win768 idx, ≥ -3
+            fh = flat_roll_left(vh, (fidx0 + _LOADW) % _LOADW)
+            fl = flat_roll_left(vl, (fidx0 + _LOADW) % _LOADW)
+            ct1h = circulant(th_h, 1, 3)
+            ct1l = circulant(th_l, 1, 3)
+            sq1f = jnp.concatenate([
+                flat_roll_left(sqv, fidx0 + MAX_SHIFT)[0:1],  # ≥ 125
+                jnp.zeros((7, LANES), F32),
+            ])
+            corr_f = corr_at(fh[:8], fl[:8], fh[1:9], fl[1:9],
+                             ct1h, ct1l, up1, sq1f, sq2)
+            fpos = fidx0 + bi                        # win768 index
+            f_ok = (ai == 0) & (bi < 7) & (bi != 3) & (fpos >= 0) & \
+                (fpos <= 2 * MAX_SHIFT) & \
+                (nominal + fpos - MAX_SHIFT >= 0) & \
+                (nominal + fpos - MAX_SHIFT + FRAME <= input_count)
+            corr_f = jnp.where(f_ok, corr_f, -jnp.inf)
+            fine_corr, bf = first_argmax(corr_f,
+                                         jnp.where(ai == 0, bi, big))
+            improved = fine_corr > best_corr
+            offset = jnp.where(improved, best_off + bf - 3, best_off)
+
+            offset = jnp.where(k > 0, offset, 0)
+            actual = nominal + offset
+            actual = jnp.where(actual + FRAME > input_count,
+                               input_count - FRAME, actual)
+            actual = jnp.maximum(actual, 0)
+            qo = actual - nominal + MAX_SHIFT        # ∈ [0, 256]
+
+            # --- frame fetch + window ---------------------------------
+            f4h = flat_roll_left(vh, qo)[:4]
+            f4l = flat_roll_left(vl, qo)[:4]
+            frame = F32(256.0) * f4h + f4l           # exact reconstruction
+            contrib = jnp.trunc(frame * win4)
+            out_ref[pl.ds(pl.multiple_of(k * 8, 8), 8), :] = \
+                jnp.concatenate([contrib, jnp.zeros((4, LANES), F32)])
+            return qo
+
+        lax.fori_loop(0, nrun, body, jnp.int32(0))
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_steps", "interpret"))
+def wsola_frames(inp_h, inp_l, sqs, sq4, input_count, nrun,
+                 *, max_steps, interpret=False):
+    """Run the WSOLA frame chain for ONE sentence (vmap for a batch).
+
+    inp_h/inp_l: hi/lo split planes of the padded input (zeros(128) ++
+    inp ++ zeros), length a multiple of 1024 and ≥ len(inp) + 2048 (the
+    final nominal's window load reads 2048 samples). sqs[p] = sliding
+    OVERLAP-energy at padded position p-128 (the +128 shift keeps the
+    k=0 tail-energy load in-bounds); sq4[q] = energy at padded position
+    4q. input_count/nrun: dynamic scalars (audio samples, prefix run
+    count). Returns contribs [max_steps, FRAME] — frame k's windowed,
+    truncated contribution (zeros for k ≥ nrun).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from ctts_tpu.ops.luts import hann
+
+    SP = inp_h.shape[0]
+    S4P = sq4.shape[0]
+    assert SP % 1024 == 0 and S4P % 1024 == 0 and sqs.shape[0] == SP
+
+    kern = _make_kernel(max_steps)
+    smem = functools.partial(pl.BlockSpec, memory_space=pltpu.SMEM)
+    vmem = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
+    scal = jnp.stack([input_count.astype(jnp.int32),
+                      nrun.astype(jnp.int32)])[None, :]
+    win4 = hann(FRAME).reshape(4, LANES)
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((max_steps * 8, LANES), F32),
+        in_specs=[smem((1, 2)),
+                  vmem((SP // LANES, LANES)), vmem((SP // LANES, LANES)),
+                  vmem((SP // LANES, LANES)), vmem((S4P // LANES, LANES)),
+                  vmem((4, LANES))],
+        out_specs=vmem((max_steps * 8, LANES)),
+        interpret=interpret,
+    )(scal, inp_h.reshape(-1, LANES), inp_l.reshape(-1, LANES),
+      sqs.reshape(-1, LANES), sq4.reshape(-1, LANES), win4)
+    return out.reshape(max_steps, 1024)[:, :FRAME]

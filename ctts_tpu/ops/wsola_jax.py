@@ -29,6 +29,8 @@ wrapping adds, per-frame trunc16, f32 norm accumulation in frame order).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -76,6 +78,45 @@ def _stack_windows(win: jnp.ndarray, width: int) -> jnp.ndarray:
     return jnp.stack([
         lax.slice(win, (o,), (o + width,)) for o in range(NCAND)
     ])
+
+
+def _wsola_backend() -> str:
+    """Frame-chain backend: the Pallas kernel (ops/pallas/wsola.py) runs
+    the whole sequential chain in-kernel with a dynamic trip count; the
+    scan remains the portable lowering. Both produce identical bits."""
+    choice = os.environ.get("CTTS_WSOLA_BACKEND", "auto")
+    if choice != "auto":
+        return choice
+    return "pallas" if jax.default_backend() != "cpu" else "xla"
+
+
+def _roundup(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _frames_pallas(inp, input_count, run_all, max_steps):
+    """Pallas frame chain: build the kernel's input planes (split
+    halves, shifted/stride-4 energy tables — values identical to the
+    XLA path's sq where both read them) and run one program."""
+    from ctts_tpu.ops.pallas.wsola import wsola_frames
+
+    S = inp.shape[0]
+    SP = _roundup(S + 2048, 1024)
+    pad2 = jnp.concatenate(
+        [jnp.zeros(MAX_SHIFT, F32), inp, jnp.zeros(SP - S - MAX_SHIFT, F32)]
+    )
+    ih, il = split_hi_lo(pad2)
+    sq = _sliding_sumsq(pad2, OVERLAP)           # [SP - OVERLAP + 1]
+    sqs = jnp.zeros(SP, F32).at[MAX_SHIFT:MAX_SHIFT + sq.shape[0]].set(sq)
+    sq4 = sq[::4]
+    # The kernel's coarse-energy load reads 2048 entries from 32k.
+    S4P = _roundup(max(sq4.shape[0], 32 * max_steps + 2048), 1024)
+    sq4p = jnp.zeros(S4P, F32).at[:sq4.shape[0]].set(sq4)
+    nrun = jnp.sum(run_all.astype(jnp.int32))
+    return wsola_frames(
+        ih, il, sqs, sq4p, input_count, nrun, max_steps=max_steps,
+        interpret=os.environ.get("CTTS_PALLAS_INTERPRET") == "1",
+    )
 
 
 def synthesis_hop_for_speed(speed: float) -> int:
@@ -245,13 +286,19 @@ def time_stretch_device(
     # NOTE: a while_loop bounded by the input's own frame count was
     # tried and is 4.5x SLOWER under vmap: heterogeneous per-lane trip
     # counts make the batching rule select the ENTIRE carry every joint
-    # step. The static scan's extra steps are cheap masked no-ops.
-    _, contribs = lax.scan(
-        step,
-        (jnp.int32(0), jnp.array(False)),
-        (ks, run_all),
-        unroll=unroll,
-    )
+    # step. The static scan's extra steps are cheap masked no-ops. On
+    # TPU the Pallas kernel replaces the scan entirely (same bits, with
+    # a dynamic per-sentence trip count); the scan remains the CPU/test
+    # and fallback lowering.
+    if _wsola_backend() == "pallas" and S % 1024 == 0:
+        contribs = _frames_pallas(inp, input_count, run_all, max_steps)
+    else:
+        _, contribs = lax.scan(
+            step,
+            (jnp.int32(0), jnp.array(False)),
+            (ks, run_all),
+            unroll=unroll,
+        )
 
     # --- OLA outside the scan: Jp shifted block adds ---------------------
     Jp = -(-FRAME // hop)                  # frames overlapping a sample

@@ -1085,13 +1085,24 @@ def build_core(dims: PlanDims, ubuf: int, stage: str = "full"):
             return _ck(seg_starts.astype(F32) + seg_dst.astype(F32)
                        + seg_lens.astype(F32))
 
-        # 2b: data movement — segment window moves (see
-        # dops.move_segments; a Pallas DMA kernel is blocked on Mosaic's
-        # 1024-alignment requirement for dynamic HBM/VMEM offsets).
-        bufs = jax.vmap(
-            lambda b, s, d, sl: dops.move_segments(b, s, d, sl,
-                                                   win_w=dims.CONTW)
-        )(bufs, seg_starts, seg_dst, seg_lens)
+        # 2b: data movement — segment window moves. On TPU the Pallas
+        # compact kernel moves every region's segments inside one
+        # program (aligned-slice + roll, see ops/pallas/compact.py); the
+        # vmapped while_loop of batch-varying window moves remains the
+        # CPU/fallback lowering.
+        if _compose_backend() == "pallas" and dims.WREG % 1024 == 0:
+            from ctts_tpu.ops.pallas.compact import compact_units
+
+            bufs = compact_units(
+                bufs.reshape(-1), seg_starts, seg_dst, seg_lens,
+                R=dims.R, WREG=dims.WREG, NBLK=dops.NBLK, MW=dims.CONTW,
+                interpret=os.environ.get("CTTS_PALLAS_INTERPRET") == "1",
+            ).reshape(dims.R, dims.WREG)
+        else:
+            bufs = jax.vmap(
+                lambda b, s, d, sl: dops.move_segments(b, s, d, sl,
+                                                       win_w=dims.CONTW)
+            )(bufs, seg_starts, seg_dst, seg_lens)
         if stage == "move":
             return _ck(bufs)
 

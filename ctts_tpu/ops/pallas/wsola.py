@@ -49,7 +49,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ctts_tpu.ops.pallas.compose import flat_roll_left
+from ctts_tpu.ops.pallas.compose import flat_roll_left, flat_roll_right
 
 F32 = jnp.float32
 LANES = 128
@@ -63,7 +63,11 @@ NCOARSE = 65                # offsets -128..128 step 4
 _LOADW = 2048               # samples fetched per window load (16 rows)
 
 
-def _make_kernel(max_steps):
+def _roundup(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _make_kernel(hop, OR):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -90,11 +94,13 @@ def _make_kernel(max_steps):
         return t
 
     def kernel(scal_ref, ih_ref, il_ref, sqs_ref, sq4_ref, win_ref,
-               out_ref):
-        out_ref[:] = jnp.zeros((max_steps * 8, LANES), F32)
+               acc_ref, norm_ref):
+        acc_ref[:] = jnp.zeros((OR, LANES), F32)
+        norm_ref[:] = jnp.zeros((OR, LANES), F32)
         input_count = scal_ref[0, 0]
         nrun = scal_ref[0, 1]
         win4 = win_ref[:]                            # [4,128] hann(512)
+        win16 = jnp.concatenate([win4, jnp.zeros((12, LANES), F32)])
 
         rowi = lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
         lanei = lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
@@ -218,13 +224,29 @@ def _make_kernel(max_steps):
             actual = jnp.maximum(actual, 0)
             qo = actual - nominal + MAX_SHIFT        # ∈ [0, 256]
 
-            # --- frame fetch + window ---------------------------------
+            # --- frame fetch + window + in-kernel OLA -----------------
             f4h = flat_roll_left(vh, qo)[:4]
             f4l = flat_roll_left(vl, qo)[:4]
             frame = F32(256.0) * f4h + f4l           # exact reconstruction
             contrib = jnp.trunc(frame * win4)
-            out_ref[pl.ds(pl.multiple_of(k * 8, 8), 8), :] = \
-                jnp.concatenate([contrib, jnp.zeros((4, LANES), F32)])
+            c16 = jnp.concatenate([contrib, jnp.zeros((12, LANES), F32)])
+
+            # Accumulate at synth position k·hop. Sequential-k adds ARE
+            # the C's accumulation order (ascending frames at every
+            # output position); the out sums stay exact integers < 2^19
+            # (≤8 overlapping int16 contributions), so the caller's
+            # single wrap16 equals the C's per-add int16 wrap.
+            pos = k * hop
+            qo8 = (pos // 1024) * 8
+            remo = pos - (pos // 1024) * 1024
+            a = acc_ref[pl.ds(pl.multiple_of(qo8, 8), 16), :]
+            a = flat_roll_left(a, remo) + c16
+            acc_ref[pl.ds(pl.multiple_of(qo8, 8), 16), :] = \
+                flat_roll_right(a, remo)
+            n = norm_ref[pl.ds(pl.multiple_of(qo8, 8), 16), :]
+            n = flat_roll_left(n, remo) + win16
+            norm_ref[pl.ds(pl.multiple_of(qo8, 8), 16), :] = \
+                flat_roll_right(n, remo)
             return qo
 
         lax.fori_loop(0, nrun, body, jnp.int32(0))
@@ -233,9 +255,9 @@ def _make_kernel(max_steps):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("max_steps", "interpret"))
+    jax.jit, static_argnames=("hop", "out_size", "interpret"))
 def wsola_frames(inp_h, inp_l, sqs, sq4, input_count, nrun,
-                 *, max_steps, interpret=False):
+                 *, hop, out_size, interpret=False):
     """Run the WSOLA frame chain for ONE sentence (vmap for a batch).
 
     inp_h/inp_l: hi/lo split planes of the padded input (zeros(128) ++
@@ -244,8 +266,9 @@ def wsola_frames(inp_h, inp_l, sqs, sq4, input_count, nrun,
     OVERLAP-energy at padded position p-128 (the +128 shift keeps the
     k=0 tail-energy load in-bounds); sq4[q] = energy at padded position
     4q. input_count/nrun: dynamic scalars (audio samples, prefix run
-    count). Returns contribs [max_steps, FRAME] — frame k's windowed,
-    truncated contribution (zeros for k ≥ nrun).
+    count). Returns (acc, norm) [out_size] — the OLA accumulators in
+    the C's frame order: acc holds exact-integer sums awaiting one
+    wrap16, norm the f32 window sums.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -255,22 +278,24 @@ def wsola_frames(inp_h, inp_l, sqs, sq4, input_count, nrun,
     SP = inp_h.shape[0]
     S4P = sq4.shape[0]
     assert SP % 1024 == 0 and S4P % 1024 == 0 and sqs.shape[0] == SP
+    OR = _roundup(out_size + 2048, 1024) // LANES
 
-    kern = _make_kernel(max_steps)
+    kern = _make_kernel(hop, OR)
     smem = functools.partial(pl.BlockSpec, memory_space=pltpu.SMEM)
     vmem = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
     scal = jnp.stack([input_count.astype(jnp.int32),
                       nrun.astype(jnp.int32)])[None, :]
     win4 = hann(FRAME).reshape(4, LANES)
-    out = pl.pallas_call(
+    acc, norm = pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((max_steps * 8, LANES), F32),
+        out_shape=(jax.ShapeDtypeStruct((OR, LANES), F32),
+                   jax.ShapeDtypeStruct((OR, LANES), F32)),
         in_specs=[smem((1, 2)),
                   vmem((SP // LANES, LANES)), vmem((SP // LANES, LANES)),
                   vmem((SP // LANES, LANES)), vmem((S4P // LANES, LANES)),
                   vmem((4, LANES))],
-        out_specs=vmem((max_steps * 8, LANES)),
+        out_specs=(vmem((OR, LANES)), vmem((OR, LANES))),
         interpret=interpret,
     )(scal, inp_h.reshape(-1, LANES), inp_l.reshape(-1, LANES),
       sqs.reshape(-1, LANES), sq4.reshape(-1, LANES), win4)
-    return out.reshape(max_steps, 1024)[:, :FRAME]
+    return acc.reshape(-1)[:out_size], norm.reshape(-1)[:out_size]

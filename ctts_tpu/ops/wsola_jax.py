@@ -94,10 +94,12 @@ def _roundup(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _frames_pallas(inp, input_count, run_all, max_steps):
+def _frames_pallas(inp, input_count, run_all, max_steps, hop, out_size):
     """Pallas frame chain: build the kernel's input planes (split
     halves, shifted/stride-4 energy tables — values identical to the
-    XLA path's sq where both read them) and run one program."""
+    XLA path's sq where both read them) and run one program. Returns
+    the (acc, norm) OLA accumulators (the kernel accumulates in the
+    C's frame order)."""
     from ctts_tpu.ops.pallas.wsola import wsola_frames
 
     S = inp.shape[0]
@@ -114,7 +116,7 @@ def _frames_pallas(inp, input_count, run_all, max_steps):
     sq4p = jnp.zeros(S4P, F32).at[:sq4.shape[0]].set(sq4)
     nrun = jnp.sum(run_all.astype(jnp.int32))
     return wsola_frames(
-        ih, il, sqs, sq4p, input_count, nrun, max_steps=max_steps,
+        ih, il, sqs, sq4p, input_count, nrun, hop=hop, out_size=out_size,
         interpret=os.environ.get("CTTS_PALLAS_INTERPRET") == "1",
     )
 
@@ -287,11 +289,14 @@ def time_stretch_device(
     # tried and is 4.5x SLOWER under vmap: heterogeneous per-lane trip
     # counts make the batching rule select the ENTIRE carry every joint
     # step. The static scan's extra steps are cheap masked no-ops. On
-    # TPU the Pallas kernel replaces the scan entirely (same bits, with
-    # a dynamic per-sentence trip count); the scan remains the CPU/test
-    # and fallback lowering.
+    # TPU the Pallas kernel replaces the scan AND the OLA entirely
+    # (same bits, dynamic per-sentence trip count, in-kernel
+    # accumulation in the C's frame order); the scan + shifted-block
+    # OLA below remain the CPU/test and fallback lowering.
     if _wsola_backend() == "pallas" and S % 1024 == 0:
-        contribs = _frames_pallas(inp, input_count, run_all, max_steps)
+        acc_f, norm = _frames_pallas(inp, input_count, run_all,
+                                     max_steps, hop, out_size)
+        out = wrap16(acc_f)
     else:
         _, contribs = lax.scan(
             step,
@@ -300,30 +305,30 @@ def time_stretch_device(
             unroll=unroll,
         )
 
-    # --- OLA outside the scan: Jp shifted block adds ---------------------
-    Jp = -(-FRAME // hop)                  # frames overlapping a sample
-    padw = Jp * hop
-    nb_out = -(-out_size // hop)
-    nrows = max(nb_out, max_steps + Jp)
-    cp = jnp.zeros((nrows, padw), F32)
-    cp = cp.at[:max_steps, :FRAME].set(contribs)
-    wrun = jnp.where(run_all[:, None], window[None, :], F32(0.0))
-    wr = jnp.zeros((nrows, padw), F32)
-    wr = wr.at[:max_steps, :FRAME].set(wrun)
+        # --- OLA outside the scan: Jp shifted block adds -----------------
+        Jp = -(-FRAME // hop)              # frames overlapping a sample
+        padw = Jp * hop
+        nb_out = -(-out_size // hop)
+        nrows = max(nb_out, max_steps + Jp)
+        cp = jnp.zeros((nrows, padw), F32)
+        cp = cp.at[:max_steps, :FRAME].set(contribs)
+        wrun = jnp.where(run_all[:, None], window[None, :], F32(0.0))
+        wr = jnp.zeros((nrows, padw), F32)
+        wr = wr.at[:max_steps, :FRAME].set(wrun)
 
-    acc = jnp.zeros((nrows, hop), F32)
-    nacc = jnp.zeros((nrows, hop), F32)
-    for j in reversed(range(Jp)):          # descending j = ascending k
-        blk = lax.slice(cp, (0, j * hop), (nrows, (j + 1) * hop))
-        nblk = lax.slice(wr, (0, j * hop), (nrows, (j + 1) * hop))
-        if j == 0:
-            acc = acc + blk
-            nacc = nacc + nblk
-        else:
-            acc = acc.at[j:].add(blk[:nrows - j])
-            nacc = nacc.at[j:].add(nblk[:nrows - j])
-    out = wrap16(acc.reshape(-1)[:out_size])
-    norm = nacc.reshape(-1)[:out_size]
+        acc = jnp.zeros((nrows, hop), F32)
+        nacc = jnp.zeros((nrows, hop), F32)
+        for j in reversed(range(Jp)):      # descending j = ascending k
+            blk = lax.slice(cp, (0, j * hop), (nrows, (j + 1) * hop))
+            nblk = lax.slice(wr, (0, j * hop), (nrows, (j + 1) * hop))
+            if j == 0:
+                acc = acc + blk
+                nacc = nacc + nblk
+            else:
+                acc = acc.at[j:].add(blk[:nrows - j])
+                nacc = nacc.at[j:].add(nblk[:nrows - j])
+        out = wrap16(acc.reshape(-1)[:out_size])
+        norm = nacc.reshape(-1)[:out_size]
 
     # actual_len = (last run frame)*hop + FRAME (0 when no frame ran).
     any_run = jnp.any(run_all)

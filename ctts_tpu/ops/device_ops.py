@@ -239,40 +239,48 @@ def pitch_shift_blend(
 
     # Resample reads head[idx] / head[idx+1]. An elementwise gather here
     # was the compose path's single largest cost (0.054 s/trip at batch
-    # 64); instead, per 128-column block, fetch ONE 512-wide window at
-    # the block's base source position (windowed dynamic slices lower to
-    # DMA-like copies) and pick within it by exact one-hot contractions
-    # (window values hi/lo-split so bf16 passes stay exact; block-local
-    # offsets span ≤ ceil(128*1.1)+1 < 512 whenever do_shift holds).
-    # Out-of-range rows (do_shift false → arbitrary factor) produce
-    # all-zero one-hots; those lanes' results are discarded below, and
-    # reads past H land in the zero padding — only positions masked out
-    # by have1/have2 ever index there, matching the old clip semantics.
-    from ctts_tpu.ops.exact import split_hi_lo
-
+    # 64); per 128-column block, fetch ONE 160-wide window at the
+    # block's base source position (windowed dynamic slices lower to
+    # DMA-like copies) and pick within it by drift-shifted selects:
+    # for i = 128c + j, the block-local offset is li = idx - base_c =
+    # j + d with d = trunc(128c·f + j·f) - trunc(128c·f) - j ∈ [-13, 15]
+    # whenever do_shift holds (|f-1| ≤ 0.1, j ≤ 127) — so a/b are exact
+    # picks out of 29 statically-shifted window views, ~18x less
+    # traffic than the earlier [nblk, 128, 256] one-hot matvec
+    # (19.5 ms/batch-64, tools/microbench_parts.py).
+    # Out-of-range rows (do_shift false → arbitrary factor) match no
+    # shift: a/b stay 0 and those lanes are discarded below; reads past
+    # H land in the zero padding — only positions masked out by
+    # have1/have2 ever index there, matching the old clip semantics.
     assert H % 128 == 0
     nblk = H // 128
-    WW = 256  # block-local offsets span ≤ ceil(128*1.1)+1 = 142
-    bf16 = jnp.bfloat16
-    hpad = jnp.concatenate([head, jnp.zeros(WW + 128, F32)])
+    # Drift bound: d = li - j with li ∈ [floor(j·f) - 1, floor(j·f) + 2]
+    # (±1 f32-trunc slop on each product), so d ∈ [-14, 14] for
+    # |f-1| ≤ 0.1, j ≤ 127; b reads d+1. One extra delta each side for
+    # margin — a delta outside the loop range would silently zero a
+    # live lane (the fuzz test vs the oracle guards this).
+    DLO, DHI = -15, 16
+    WF = 160                          # window: j + d + 1 ≤ 145
+    hpad = jnp.concatenate([head, jnp.zeros(WF + 128, F32)])
     base = (jnp.arange(nblk) * 128).astype(F32) * factor
     base = jnp.minimum(base.astype(jnp.int32), H)
     win = jnp.stack([
-        lax.dynamic_slice(hpad, (base[c],), (WW + 1,))
+        lax.dynamic_slice(hpad, (base[c],), (WF,))
         for c in range(nblk)
-    ])                                                 # [nblk, 257]
-    wh, wl = split_hi_lo(win)
-    wh, wl = wh.astype(bf16), wl.astype(bf16)
+    ])                                                 # [nblk, 160]
     li = idx.reshape(nblk, 128) - base[:, None]        # block-local idx
-    onehot = (li[:, :, None] ==
-              jnp.arange(WW)[None, None, :]).astype(bf16)  # [nblk,128,WW]
-
-    def pick(w):
-        return jnp.einsum("kls,ks->kl", onehot, w,
-                          preferred_element_type=F32)
-
-    a = (F32(256.0) * pick(wh[:, :WW]) + pick(wl[:, :WW])).reshape(H)
-    b = (F32(256.0) * pick(wh[:, 1:]) + pick(wl[:, 1:])).reshape(H)
+    d = li - jnp.arange(128)[None, :]
+    winp = jnp.concatenate([jnp.zeros((nblk, -DLO), F32), win], axis=1)
+    a = jnp.zeros((nblk, 128), F32)
+    b = jnp.zeros((nblk, 128), F32)
+    for delta in range(DLO, DHI + 1):
+        s = delta - DLO
+        hit = d == delta
+        a = jnp.where(hit, lax.slice(winp, (0, s), (nblk, s + 128)), a)
+        b = jnp.where(hit, lax.slice(winp, (0, s + 1), (nblk, s + 129)),
+                      b)
+    a = a.reshape(H)
+    b = b.reshape(H)
     lerp = a * (F32(1.0) - frac) + b * frac
     have2 = idx + 1 < shift_region
     have1 = (~have2) & (idx < shift_region)

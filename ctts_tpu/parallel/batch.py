@@ -47,14 +47,22 @@ def _compiled_batch_core(dims: PlanDims, ubuf: int, packed: bool = False,
     rows — no cross-device cumsum, no collectives) and the collector
     pulls only each shard's valid prefix."""
     core = build_core(dims, ubuf)
-    vc = jax.vmap(core, in_axes=(None, None, None, 0))
+
+    def with_shared(bank, lens, gains, arrays, shared):
+        ar = dict(arrays)
+        ar.update(shared)
+        return core(bank, lens, gains, ar)
+
+    # `shared` carries the batch-global distinct-value tables
+    # (shared_plan_values) — unbatched, replicated under a mesh.
+    vc = jax.vmap(with_shared, in_axes=(None, None, None, 0, None))
     if not packed:
         return jax.jit(vc)
 
     from jax import lax
 
-    def run(bank, lens, gains, arrays):
-        out, out_len, ovf = vc(bank, lens, gains, arrays)
+    def run(bank, lens, gains, arrays, shared):
+        out, out_len, ovf = vc(bank, lens, gains, arrays, shared)
         b_n, om = out.shape
         offs = jnp.concatenate(
             [jnp.zeros(1, jnp.int32), jnp.cumsum(out_len)[:-1]]
@@ -80,7 +88,7 @@ def _compiled_batch_core(dims: PlanDims, ubuf: int, packed: bool = False,
     sm = jax.shard_map(
         run,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P(DATA_AXIS)),
+        in_specs=(P(), P(), P(), P(DATA_AXIS), P()),
         out_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
         # The body is collective-free (each shard packs its own rows);
         # the core's internal scans carry replicated-initialized state,
@@ -249,13 +257,22 @@ class BatchSynthesizer:
                 stacked[k][slot] = stacked[k][n - 1]
 
         arrays = {k: jnp.asarray(v) for k, v in stacked.items()}
+        from ctts_tpu.synth.device import shared_plan_values
+
+        shared = {
+            k: jnp.asarray(v)
+            for k, v in shared_plan_values(stacked, self.voice.lengths,
+                                           dims).items()
+        }
         if self.mesh is not None:
             sh = batch_sharding(self.mesh)
             arrays = {k: jax.device_put(v, sh) for k, v in arrays.items()}
+            rep = replicated(self.mesh)
+            shared = {k: jax.device_put(v, rep) for k, v in shared.items()}
 
         core = _compiled_batch_core(dims, self.voice.ubuf, pack, self.mesh)
         out, out_lens, ovf = core(self.voice.bank, self.voice.lengths,
-                                  self.voice.gains, arrays)
+                                  self.voice.gains, arrays, shared)
         return n, pack, out, out_lens, ovf
 
     def _collect_bucket(self, handle):

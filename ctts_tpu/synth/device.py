@@ -79,6 +79,12 @@ class PlanDims:
     synth_hop: int   # static WSOLA synthesis hop (0 when not stretching)
     contour_drift: int  # ceil(256 * max_pitch_change) + 2 (resample bound)
     FADE2W: int = 128  # region tail-fade window width (≥ max fade_after)
+    # Boundary-shift candidate slots: units whose host-known gates
+    # (smooth & boundary>0 & prev_ok & n≥200 & shift_region>0) allow a
+    # pitch shift. The tail-pitch search and shift/blend resample run on
+    # these rows only (~16% of slots at the bench corpus) instead of all
+    # U — the device-side gates (voiced & jump) are a subset.
+    NSHIFT: int = 16
     # compose_refine (default): fixed-point two-pass compose — light
     # placement scans with ALL boundary DSP batched (one U-wide grouped
     # pitch conv per trip instead of one conv per scan step), iterated
@@ -165,6 +171,10 @@ def bucket_dims(d: PlanDims, floor: Optional[dict] = None) -> PlanDims:
         SMAX=smax,
         OMAX=_omax_for(smax, d.stretch, d.synth_hop),
         FADE2W=_next_pow2(max(d.FADE2W, floor.get("FADE2W", 0)), 128),
+        # Floored at 16 so typical sentences (bench max: 11 candidates)
+        # share one bucket; capped at the (bucketed) unit-slot count.
+        NSHIFT=min(_next_pow2(max(d.NSHIFT, floor.get("NSHIFT", 16)), 8),
+                   _next_pow2(max(d.U, floor.get("U", 0)), 8)),
     )
 
 
@@ -396,12 +406,25 @@ def walk_plan(plan: SynthesisPlan, db: VoiceDatabase) -> WalkedPlan:
     )
 
 
+def _shift_candidates(units, db) -> list:
+    """Unit slots whose host-known gates allow a boundary pitch shift
+    (the do_smooth gates of ctts.c:1990-2001 minus the device-side
+    voiced/jump pitch tests)."""
+    lens = db.index["sample_count"]
+    return [
+        k for k, u in enumerate(units)
+        if u["smooth"] and u["boundary"] > 0 and u["prev_ok"]
+        and u["shift_region"] > 0 and int(lens[u["id"]]) >= 200
+    ]
+
+
 def derive_dims(w: WalkedPlan, db: VoiceDatabase) -> PlanDims:
     """Minimal per-sentence static dimensions for a walked plan."""
     cfg = w.plan.config
     bank_w = _roundup(int(db.index["sample_count"].max()), 1024)
     smax = _roundup(max(w.total_len, 1024))
     return PlanDims(
+        NSHIFT=max(_roundup(len(_shift_candidates(w.units, db)), 8), 8),
         U=max(len(w.units), 1),
         R=max(len(w.regions), 1),
         FD=max(len(w.fades), 1),
@@ -513,6 +536,11 @@ def fill_device_plan(w: WalkedPlan, db: VoiceDatabase,
         a["fade_pos"][k] = pos
         a["fade_len"][k] = flen
 
+    cands = _shift_candidates(units, db)
+    assert len(cands) <= dims.NSHIFT, "shift candidates exceed NSHIFT"
+    a["shift_slots"] = np.full(dims.NSHIFT, -1, np.int32)
+    a["shift_slots"][: len(cands)] = cands
+
     a["threshold"] = np.float32(cfg.silence_threshold)
     a["speed"] = np.float32(plan.speed)
     a["refine_trips"] = np.int32(w.refine_trips)
@@ -558,6 +586,36 @@ class DeviceVoice:
         self.ubuf = units.shape[1]
 
 
+
+
+def shared_plan_values(arrays, bank_lens, dims: PlanDims) -> dict:
+    """Batch-global distinct-value tables for the fade-curve selects in
+    build_core (host-side; pass unbatched — in_axes=None — under vmap).
+
+    The crossfade/fade-in gain curves depend only on one scalar each
+    (crossfade length; min(fade_in_samples, unit length)), and a batch
+    holds few distinct values of either — so the core evaluates the LUT
+    curves once per distinct value and row-selects, instead of paying a
+    full-width per-unit LUT gather (53 ms/batch-64). Values are stored
+    max(·,1)-normalized and 0-padded to a multiple of 8 (0 never matches
+    a normalized value, so padding rows select nothing).
+
+    `arrays` may be a single plan's arrays or a stacked batch of them."""
+    cf = np.maximum(np.asarray(arrays["unit_cf_in"]).reshape(-1), 1)
+    cfv = np.unique(cf).astype(np.int32)
+    uid = np.asarray(arrays["unit_id"]).reshape(-1)
+    lens = np.asarray(bank_lens)
+    n = np.where(uid >= 0, lens[np.maximum(uid, 0)], 0)
+    fades = np.maximum(np.minimum(dims.fade_in_samples, n), 1)
+    fv = np.unique(fades).astype(np.int32)
+
+    def pad8(v):
+        m = max(8, -(-len(v) // 8) * 8)
+        out = np.zeros(m, np.int32)
+        out[: len(v)] = v
+        return out
+
+    return {"cf_values": pad8(cfv), "fade_values": pad8(fv)}
 
 
 @functools.lru_cache(maxsize=64)
@@ -689,6 +747,28 @@ def build_core(dims: PlanDims, ubuf: int, stage: str = "full"):
         base = q16(x * g[:, None])
 
         it = jnp.arange(CFMAX)
+        if "cf_values" in ar:
+            # The gain curves depend only on the scalar crossfade length,
+            # and a batch has few distinct lengths — so evaluate the LUT
+            # curves once per distinct value on the (unbatched, batch-
+            # global) value set and select each unit's row with an exact
+            # one-nonzero where-sum. The full-width per-unit LUT eval was
+            # 2 M gather elements per batch — 53 ms, the single largest
+            # device cost after round 2 (tools/microbench_parts.py).
+            cfv = ar["cf_values"].astype(jnp.int32)          # [NCF]
+            tmixv = it[None, :].astype(F32) * (
+                F32(1.0) / jnp.maximum(cfv, 1).astype(F32)[:, None]
+            )
+            fo_c = fade_out_gain(tmixv)                      # [NCF, CFMAX]
+            fi_c = fade_in_gain(tmixv)
+            cfu = jnp.maximum(ar["unit_cf_in"], 1)           # [U]
+            # cfv holds the deduped max(cf,1) values padded with 0 (which
+            # never matches) — exactly one hit per unit, so the sum IS
+            # the matched row, bit-for-bit.
+            match = (cfu[:, None] == cfv[None, :])[:, :, None]
+            fo = jnp.sum(jnp.where(match, fo_c[None], F32(0.0)), axis=1)
+            fi = jnp.sum(jnp.where(match, fi_c[None], F32(0.0)), axis=1)
+            return base, fo, fi
         tmix = it[None, :].astype(F32) * (
             F32(1.0) / jnp.maximum(ar["unit_cf_in"], 1).astype(F32)[:, None]
         )
@@ -751,9 +831,23 @@ def build_core(dims: PlanDims, ubuf: int, stage: str = "full"):
         FW = min(-(-dims.fade_in_samples // 128) * 128, CFMAX)
         ifw = jnp.arange(FW)[None, :]
         fade = jnp.minimum(dims.fade_in_samples, n)          # [U]
-        tfw = ifw.astype(F32) * (
-            F32(1.0) / jnp.maximum(fade, 1).astype(F32)[:, None])
-        fade_gain = sine_fade_gain(tfw)                      # [U, FW]
+        if "fade_values" in ar:
+            # Same distinct-value curve trick as prepare_base: fade is
+            # min(fade_in_samples, unit length) — a handful of distinct
+            # values per batch, host-collected.
+            fv = ar["fade_values"].astype(jnp.int32)         # [NFV]
+            tfv = ifw.astype(F32) * (
+                F32(1.0) / jnp.maximum(fv, 1).astype(F32)[:, None])
+            gain_v = sine_fade_gain(tfv)                     # [NFV, FW]
+            # fv holds deduped max(fade,1) values, padded with 0 (never
+            # matches a maxed value) — exactly one hit per unit.
+            fm = (jnp.maximum(fade, 1)[:, None] == fv[None, :])[:, :, None]
+            fade_gain = jnp.sum(
+                jnp.where(fm, gain_v[None], F32(0.0)), axis=1)
+        else:
+            tfw = ifw.astype(F32) * (
+                F32(1.0) / jnp.maximum(fade, 1).astype(F32)[:, None])
+            fade_gain = sine_fade_gain(tfw)                  # [U, FW]
 
         def contrib_fn(heads):
             live_h = ih < n[:, None]
@@ -809,32 +903,57 @@ def build_core(dims: PlanDims, ubuf: int, stage: str = "full"):
                     w, (2 * CFMAX - a,), (dops._PITCH_SPAN,))
             )(windows, ana)
             tails = windows[:, CFMAX:2 * CFMAX]
-        prev_pitches = dops.estimate_pitch_batch(segs, ana)
+
+        # Candidate compaction (see the core's shift_slots block): the
+        # tail-pitch search and the shift/blend resample run on NSHIFT
+        # rows; the host gates (smooth & boundary>0 & prev_ok & n≥200 &
+        # shift_region>0) already hold on every live candidate, so only
+        # the device-side voiced/jump tests remain.
+        ss = ar["shift_slots"]
+        s_live = ss >= 0
+        si = jnp.maximum(ss, 0)
+        pickm = (si[:, None] == jnp.arange(dims.U)[None, :]) \
+            & s_live[:, None]
+        scat = jnp.arange(dims.U)[:, None] == ss[None, :]   # [U, NSHIFT]
+
+        def pick_rows(m):
+            return jnp.sum(
+                jnp.where(pickm[:, :, None], m[None], F32(0.0)), axis=1)
+
+        def pick_scal(v):
+            return jnp.sum(
+                jnp.where(pickm, v[None, :], jnp.zeros((), v.dtype)),
+                axis=1)
+
+        prev_p = dops.estimate_pitch_batch(pick_rows(segs), pick_scal(ana))
+        next_p = pick_scal(ar["_next_pitch"])
+        sr_c = pick_scal(ar["unit_shift_region"])
+        voiced_c = (prev_p > 0) & (next_p > 0)
+        ratio_c = next_p / jnp.where(prev_p > 0, prev_p, F32(1.0))
+        jump_c = (ratio_c > F32(1.15)) | (ratio_c < F32(0.85))
+        target_c = jnp.where(
+            ratio_c > F32(1.0),
+            F32(1.0) + (ratio_c - F32(1.0)) * F32(0.5),
+            F32(1.0) - (F32(1.0) - ratio_c) * F32(0.5),
+        )
+        factor_c = target_c / jnp.where(ratio_c != 0, ratio_c, F32(1.0))
+        shifted_c = jax.vmap(dops.pitch_shift_blend)(
+            pick_rows(base[:, :CFMAX]), sr_c, factor_c)     # [NSHIFT, CF]
+        use_c = s_live & voiced_c & jump_c & (sr_c > 0)
+        hit = scat & use_c[None, :]                         # [U, NSHIFT]
+        shifted_u = jnp.sum(
+            jnp.where(hit[:, :, None], shifted_c[None], F32(0.0)), axis=1)
+        use_u = jnp.any(hit, axis=1)                        # [U]
 
         def one(k, seg, prev_tail):
-            n = ar["_unit_n"][k]
             head = base[k][:CFMAX]
             it = jnp.arange(CFMAX)
 
             do_boundary = ar["unit_smooth"][k] & (ar["unit_boundary"][k] > 0)
-            do_smooth = do_boundary & ar["unit_prev_ok"][k] & (n >= 200)
 
-            prev_pitch = prev_pitches[k]
-            next_pitch = ar["_next_pitch"][k]
-            voiced = (prev_pitch > 0) & (next_pitch > 0)
-            ratio = next_pitch / jnp.where(prev_pitch > 0, prev_pitch,
-                                           F32(1.0))
-            jump = (ratio > F32(1.15)) | (ratio < F32(0.85))
-            target = jnp.where(
-                ratio > F32(1.0),
-                F32(1.0) + (ratio - F32(1.0)) * F32(0.5),
-                F32(1.0) - (F32(1.0) - ratio) * F32(0.5),
-            )
-            shift_factor = target / jnp.where(ratio != 0, ratio, F32(1.0))
             shift_region = ar["unit_shift_region"][k]
-            shifted = dops.pitch_shift_blend(head, shift_region, shift_factor)
-            use_shift = do_smooth & voiced & jump & (shift_region > 0)
-            head = jnp.where((it < shift_region) & use_shift, shifted, head)
+            head = jnp.where((it < shift_region) & use_u[k],
+                             shifted_u[k], head)
 
             blen = ar["unit_boundary_len"][k]
             tail_live = it >= (CFMAX - blen)
@@ -868,13 +987,40 @@ def build_core(dims: PlanDims, ubuf: int, stage: str = "full"):
 
         base, fo, fi = prepare_base(bank, bank_lens, gains, ar)
 
+        # Boundary-shift candidate machinery: the pitch searches and the
+        # shift/blend resample only matter for units whose host-known
+        # gates pass (shift_slots, ~16% of slots at the bench corpus) —
+        # run them on NSHIFT compacted rows instead of all U. Row
+        # picks/scatters are exact one-nonzero where-sums (arbitrary
+        # f32 values — a one-hot matmul would ride bf16 and round).
+        ss = ar["shift_slots"]                              # [NSHIFT]
+        s_live = ss >= 0
+        si = jnp.maximum(ss, 0)
+        pickm = (si[:, None] == jnp.arange(dims.U)[None, :]) \
+            & s_live[:, None]                               # [NSHIFT, U]
+        scat = jnp.arange(dims.U)[:, None] == ss[None, :]   # [U, NSHIFT]
+
+        def pick_rows(m):
+            return jnp.sum(
+                jnp.where(pickm[:, :, None], m[None], F32(0.0)), axis=1)
+
+        def pick_scal(v):
+            return jnp.sum(
+                jnp.where(pickm, v[None, :], jnp.zeros((), v.dtype)),
+                axis=1)
+
         # Per-unit pitch of the unit head is independent of composition —
         # hoist it out of the sequential scan, one batched dispatch for
-        # all slots (the conv path has a per-dispatch latency floor; the
-        # Pallas path is one kernel either way).
-        next_pitches = dops.estimate_pitch_batch(
-            base[:, :dops._PITCH_SPAN], ar["unit_analysis"]
-        )
+        # the candidate slots (the conv path has a per-dispatch latency
+        # floor; the Pallas path is one kernel either way).
+        cand_np = dops.estimate_pitch_batch(
+            pick_rows(base[:, :dops._PITCH_SPAN]),
+            pick_scal(ar["unit_analysis"]),
+        )                                                   # [NSHIFT]
+        # Scatter to [U]; non-candidates read 0 (unvoiced) — their
+        # do_smooth gate is false, so the value is never consumed.
+        next_pitches = jnp.sum(
+            jnp.where(scat, cand_np[None, :], F32(0.0)), axis=1)
         if stage == "head_pitch":
             return _ck(next_pitches)
         ar["_next_pitch"] = next_pitches
@@ -1183,6 +1329,8 @@ def build_core(dims: PlanDims, ubuf: int, stage: str = "full"):
             for j in range(4)
         ]
         winm = jnp.concatenate(tiles, axis=1)            # [K_slots, 512]
+        if stage == "contour_in":   # copy-in + tile build
+            return _ck(winm)
 
         from ctts_tpu.ops.luts import hann as hann_lut
 
@@ -1219,6 +1367,8 @@ def build_core(dims: PlanDims, ubuf: int, stage: str = "full"):
         samplec = jnp.where(in_rangec,
                             ca * (F32(1.0) - fracc) + cb * fracc, ca)
 
+        if stage == "contour_sel":  # shifted-select resample
+            return _ck(samplec)
         hann256 = hann_lut(FRC)
         contribc = trunc16(samplec * hann256[None, :])
         contribc = jnp.where(frame_ok[:, None], contribc, F32(0.0))
@@ -1251,6 +1401,8 @@ def build_core(dims: PlanDims, ubuf: int, stage: str = "full"):
         valb = q16(accc / jnp.where(goodb, normb, F32(1.0)))
         valb = jnp.concatenate([valb, jnp.zeros(WC - LA, F32)])
         normb = jnp.concatenate([normb, jnp.zeros(WC - LA, F32)])
+        if stage == "contour_ola":  # OLA + normalize
+            return _ck(valb)
 
         # Merge back under the same (i < count) & active & good mask.
         icw = jnp.arange(dims.CONTW)
@@ -1265,6 +1417,8 @@ def build_core(dims: PlanDims, ubuf: int, stage: str = "full"):
             bufs = lax.dynamic_update_slice(bufs, merged[None],
                                             (r, MARGIN))
 
+        if stage == "contour_merge":  # zone merge-back
+            return _ck(bufs)
         qf = (ar["region_qfinal"] & ar["region_do_dsp"]
               & ar["region_active"])
         ridx = jnp.arange(dims.R)
@@ -1388,6 +1542,8 @@ def execute_plan_jax(plan: SynthesisPlan, db: VoiceDatabase,
     dplan = fill_device_plan(w, db, dims)
     core = _compiled_core(dplan.dims, voice.ubuf)
     arrays = {k: jnp.asarray(v) for k, v in dplan.arrays.items()}
+    shared = shared_plan_values(dplan.arrays, voice.lengths, dplan.dims)
+    arrays.update({k: jnp.asarray(v) for k, v in shared.items()})
     out, out_len, ovf = core(voice.bank, voice.lengths, voice.gains, arrays)
     out_len = int(out_len)
     if int(ovf) > 0:

@@ -50,6 +50,7 @@ def main() -> None:
     from ctts_tpu.plan.compiler import compile_plan
     from ctts_tpu.synth.device import (
         DeviceVoice, bucket_dims, build_core, build_device_plan,
+        shared_plan_values,
     )
 
     root = tempfile.mkdtemp(prefix="ctts_prof_")
@@ -89,6 +90,10 @@ def main() -> None:
         for k in dplans[0].arrays
     }
     arrays = {k: jnp.asarray(v) for k, v in stacked.items()}
+    shared = {
+        k: jnp.asarray(v)
+        for k, v in shared_plan_values(stacked, voice.lengths, dims).items()
+    }
     np.asarray(arrays["unit_id"])  # force upload
     t_stack = time.perf_counter() - t0
 
@@ -103,10 +108,17 @@ def main() -> None:
     want = args.stages.split(",")
     prev = 0.0
     for stage in want:
-        core = jax.jit(jax.vmap(build_core(dims, voice.ubuf, stage),
-                                in_axes=(None, None, None, 0)))
+        sc = build_core(dims, voice.ubuf, stage)
+
+        def with_shared(bank, lens, gains, ar, sh):
+            a = dict(ar)
+            a.update(sh)
+            return sc(bank, lens, gains, a)
+
+        core = jax.jit(jax.vmap(with_shared,
+                                in_axes=(None, None, None, 0, None)))
         t0 = time.perf_counter()
-        res = core(voice.bank, voice.lengths, voice.gains, arrays)
+        res = core(voice.bank, voice.lengths, voice.gains, arrays, shared)
         out, out_len = res[0], res[1]
         np.asarray(out)  # forced transfer = sync
         compile_s = time.perf_counter() - t0
@@ -114,7 +126,8 @@ def main() -> None:
         ts = []
         for _ in range(args.iters):
             t0 = time.perf_counter()
-            res = core(voice.bank, voice.lengths, voice.gains, arrays)
+            res = core(voice.bank, voice.lengths, voice.gains, arrays,
+                       shared)
             out, out_len = res[0], res[1]
             o = np.asarray(out)
             ts.append(time.perf_counter() - t0)

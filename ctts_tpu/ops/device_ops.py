@@ -313,6 +313,24 @@ def masked_rms(x: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
 NBLK = 32
 
 
+def _cumsum_i32(x: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive int32 cumsum over the last axis via a 128-lane
+    hierarchy: XLA lowers a flat cumsum over a W-wide row to ~log2(W)
+    full-width shifted-add passes (15 at CONTW), while cumsum-within-
+    128-lane-tiles + a W/128-wide block cumsum + one broadcast add is
+    ~3 full passes. Bit-exact (integer adds are associative)."""
+    W = x.shape[-1]
+    if W % 128 != 0 or W <= 1024:
+        return jnp.cumsum(x, axis=-1)
+    t = x.reshape(x.shape[:-1] + (W // 128, 128))
+    within = jnp.cumsum(t, axis=-1)
+    blocks = jnp.cumsum(within[..., -1], axis=-1)
+    excl = jnp.concatenate(
+        [jnp.zeros(blocks.shape[:-1] + (1,), x.dtype), blocks[..., :-1]],
+        axis=-1)
+    return (within + excl[..., None]).reshape(x.shape)
+
+
 def silence_segments(
     buf: jnp.ndarray,
     length: jnp.ndarray,
@@ -349,14 +367,14 @@ def silence_segments(
     kn1 = keep_n + 1
     M = max(min_silence, 1)
     cs = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), jnp.cumsum(silent.astype(jnp.int32))]
+        [jnp.zeros(1, jnp.int32), _cumsum_i32(silent.astype(jnp.int32))]
     )                                                   # [W+1]
     cs_l = jnp.concatenate([jnp.zeros(kn1, jnp.int32), cs])[1: W + 1]
     prefix_ok = (cs[1:] - cs_l) == kn1
     cs_r = jnp.concatenate([cs, jnp.full(M, cs[-1], jnp.int32)])
     w_all = (cs_r[M: M + W] - cs[:W]) == M              # [W]
     cw = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), jnp.cumsum(w_all.astype(jnp.int32))]
+        [jnp.zeros(1, jnp.int32), _cumsum_i32(w_all.astype(jnp.int32))]
     )
     cw_l = jnp.concatenate([jnp.zeros(M, jnp.int32), cw])[1: W + 1]
     long_run = (cw[1:] - cw_l) > 0
@@ -373,8 +391,8 @@ def silence_segments(
     # (searchsorted), ~log2(W) probes per segment instead of the
     # [NBLK, W] broadcast compare this used to do (~1 GB of bool
     # traffic per 64x16-region batch at CONTW=29696).
-    seg_idx = jnp.cumsum(seg_start_flag.astype(jnp.int32))
-    cum_end = jnp.cumsum(seg_end_flag.astype(jnp.int32))
+    seg_idx = _cumsum_i32(seg_start_flag.astype(jnp.int32))
+    cum_end = _cumsum_i32(seg_end_flag.astype(jnp.int32))
     s_vals = jnp.arange(1, NBLK + 1, dtype=jnp.int32)
     starts = jnp.searchsorted(seg_idx, s_vals, side="left").astype(jnp.int32)
     ends = jnp.searchsorted(cum_end, s_vals, side="left").astype(jnp.int32)

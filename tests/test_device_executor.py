@@ -217,6 +217,22 @@ def test_silence_segments_fuzz_vs_oracle():
         assert np.array_equal(got, ref)
 
 
+def test_hierarchical_cumsum_matches_flat():
+    """_cumsum_i32's 128-lane hierarchy must equal jnp.cumsum bit-for-bit
+    at the production CONTW-class widths (integer adds, exact)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ctts_tpu.ops.device_ops import _cumsum_i32
+
+    rng = np.random.default_rng(11)
+    for shape in [(3, 29696), (2, 4096), (1, 1024), (2, 900)]:
+        x = jnp.asarray(rng.integers(0, 2, shape).astype(np.int32))
+        a = np.asarray(jax.jit(_cumsum_i32)(x))
+        b = np.asarray(jax.jit(lambda v: jnp.cumsum(v, axis=-1))(x))
+        assert np.array_equal(a, b), shape
+
+
 def test_corpus_shares_one_bucket(voice_db):
     """With the serving floor, a mixed corpus (short/long sentences,
     different max crossfades) must land in ONE dims bucket — per-plan

@@ -320,7 +320,12 @@ def _cumsum_i32(x: jnp.ndarray) -> jnp.ndarray:
     128-lane-tiles + a W/128-wide block cumsum + one broadcast add is
     ~3 full passes. Bit-exact (integer adds are associative)."""
     W = x.shape[-1]
-    if W % 128 != 0 or W <= 1024:
+    if W % 128 != 0 or W <= 1024 or jax.default_backend() == "cpu":
+        # Flat cumsum on CPU: the hierarchy is a TPU-bandwidth
+        # optimization, and its reshape/cumsum pattern inside the large
+        # vmapped synthesis program triggers an XLA:CPU compiler
+        # segfault (reproducible in-suite at test_stream/golden-device;
+        # the isolated pattern compiles fine).
         return jnp.cumsum(x, axis=-1)
     t = x.reshape(x.shape[:-1] + (W // 128, 128))
     within = jnp.cumsum(t, axis=-1)
@@ -534,8 +539,9 @@ def _contour0(content: jnp.ndarray, count: jnp.ndarray,
         w_d = w_prev
         w_d1 = lax.slice(wpad, (0, D + delta + 1), (K, D + delta + 1 + FR))
         w_prev = w_d1
+        grain = 128 if jax.default_backend() == "cpu" else 64
         i0 = 0 if delta == 0 else int((abs(delta) - 1) / mcb)
-        i0 = (i0 // 128) * 128
+        i0 = (i0 // grain) * grain
         if i0 >= FR:
             continue
         sl_hit = drift[:, i0:] == delta

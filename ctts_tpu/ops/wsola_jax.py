@@ -60,10 +60,15 @@ def _sliding_sumsq(x: jnp.ndarray, width: int) -> jnp.ndarray:
 
     int32 cumsums of the split components may wrap mod 2^32; window
     differences still recover the true sums (each < 2^24)."""
+    from ctts_tpu.ops.device_ops import _cumsum_i32
+
     xh, xl = split_hi_lo(x)
 
     def win_sum(prod):
-        cs = jnp.cumsum(prod.astype(jnp.int32))
+        # Hierarchical cumsum (~3 full passes vs ~17 shifted-add passes
+        # for a flat 131k-wide cumsum); int32 wrap-around addition is
+        # associative, so window differences recover the same exact sums.
+        cs = _cumsum_i32(prod.astype(jnp.int32)[None, :])[0]
         cs = jnp.concatenate([jnp.zeros(1, jnp.int32), cs])
         return (cs[width:] - cs[:-width]).astype(F32)
 

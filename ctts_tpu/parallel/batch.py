@@ -98,6 +98,29 @@ def _compiled_batch_core(dims: PlanDims, ubuf: int, packed: bool = False,
     return jax.jit(sm)
 
 
+def release_compiled() -> None:
+    """Drop every compiled executable this process holds (the batch-core
+    cache, the single-sentence core cache, and jax's live caches).
+
+    XLA:CPU segfaults once too many large synthesis executables stay
+    resident in one process — observed deterministically while compiling
+    (or persisting) the 6th-or-so big bucket of a multi-speed corpus run;
+    each bucket compiles fine in a fresh process. Long-lived multi-bucket
+    processes (the golden acceptance suite, serving hosts that cycle many
+    dims buckets on CPU) should call this between bucket groups; with a
+    persistent compilation cache the re-warm is a fast deserialization,
+    not a recompile."""
+    import gc
+
+    from ctts_tpu.synth.device import _compiled_core, build_core
+
+    _compiled_batch_core.cache_clear()
+    _compiled_core.cache_clear()
+    build_core.cache_clear()
+    jax.clear_caches()
+    gc.collect()
+
+
 def _next_batch_size(n: int, multiple: int) -> int:
     """Round up to a multiple of 8 (and of the mesh size). Power-of-two
     rounding padded a 72-row batch to 128 — 44% wasted compute; serving

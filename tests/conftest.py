@@ -27,6 +27,29 @@ from jax._src import xla_bridge  # noqa: E402
 xla_bridge._clear_backends()
 assert jax.device_count() == 8, "expected 8 virtual CPU devices for tests"
 
+# Persistent compile cache: the suite's big vmapped cores take minutes
+# each to compile on CPU, and XLA:CPU occasionally segfaults after many
+# large compiles accumulate in one process (observed at the golden-
+# device speed buckets). With the cache, reruns skip completed compiles
+# (fast + self-healing after a compiler crash).
+_cache = os.environ.get("CTTS_TEST_JAX_CACHE", "/tmp/ctts_test_jax_cache")
+os.makedirs(_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+import pytest as _pytest  # noqa: E402
+
+
+@_pytest.fixture(autouse=True, scope="module")
+def _release_compiled_cores():
+    """Bound the per-process resident-executable count (XLA:CPU
+    segfaults once too many large cores accumulate — see
+    ctts_tpu.parallel.batch.release_compiled)."""
+    yield
+    from ctts_tpu.parallel.batch import release_compiled
+
+    release_compiled()
+
 import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

@@ -98,6 +98,25 @@ def _compiled_batch_core(dims: PlanDims, ubuf: int, packed: bool = False,
     return jax.jit(sm)
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _no_persistent_cache():
+    """Disable the persistent compilation cache for the enclosed calls.
+
+    Serializing the large mesh (shard_map) synthesis executable on the
+    CPU backend aborts inside XLA (put_executable_and_time — a CHECK,
+    not an exception; trivial shard_map programs serialize fine), so
+    mesh-core compiles must not be persisted."""
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        jax.config.update("jax_compilation_cache_dir", None)
+        yield
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
+
+
 def release_compiled() -> None:
     """Drop every compiled executable this process holds (the batch-core
     cache, the single-sentence core cache, and jax's live caches).
@@ -294,8 +313,14 @@ class BatchSynthesizer:
             shared = {k: jax.device_put(v, rep) for k, v in shared.items()}
 
         core = _compiled_batch_core(dims, self.voice.ubuf, pack, self.mesh)
-        out, out_lens, ovf = core(self.voice.bank, self.voice.lengths,
-                                  self.voice.gains, arrays, shared)
+        if self.mesh is not None:
+            with _no_persistent_cache():
+                out, out_lens, ovf = core(
+                    self.voice.bank, self.voice.lengths,
+                    self.voice.gains, arrays, shared)
+        else:
+            out, out_lens, ovf = core(self.voice.bank, self.voice.lengths,
+                                      self.voice.gains, arrays, shared)
         return n, pack, out, out_lens, ovf
 
     def _collect_bucket(self, handle):

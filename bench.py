@@ -90,8 +90,100 @@ def measure_c_reference(root: str, dbp: str) -> float:
     return total_audio / dt if dt > 0 else 0.0
 
 
+def probe_backend(timeout_s: float) -> tuple[str, int] | None:
+    """Probe jax backend init in a subprocess (axon init can HANG, not
+    just fail — BENCH_r03 died on this; VERDICT r3 item 2). Returns
+    (backend, n_devices) or None."""
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        # The axon sitecustomize sets jax_platforms via config.update,
+        # which overrides the env var — force it back (same dance as
+        # tests/conftest.py) or the dead-tunnel init hangs even here.
+        code = (
+            "import jax, sys;"
+            "jax.config.update('jax_platforms', 'cpu');"
+            "from jax._src import xla_bridge;"
+            "xla_bridge._clear_backends();"
+            "d = jax.devices();"
+            "sys.stdout.write(jax.default_backend() + ' ' + str(len(d)))"
+        )
+    else:
+        code = (
+            "import jax, sys;"
+            "d = jax.devices();"
+            "sys.stdout.write(jax.default_backend() + ' ' + str(len(d)))"
+        )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True, timeout=timeout_s, text=True,
+        )
+        if r.returncode == 0 and r.stdout.strip():
+            backend, n = r.stdout.split()
+            return backend, int(n)
+    except Exception:
+        pass
+    return None
+
+
+def resolve_backend() -> tuple[str, str]:
+    """Wait (bounded) for the configured backend; fall back to CPU.
+
+    Returns (backend_label, error) where error is "" on a healthy
+    probe. On fallback, forces JAX_PLATFORMS=cpu for this process so
+    the hung axon plugin is never initialized in-process.
+    """
+    tries = int(os.environ.get("CTTS_BENCH_PROBE_TRIES", "3"))
+    timeout_s = float(os.environ.get("CTTS_BENCH_PROBE_TIMEOUT", "120"))
+    backoff_s = float(os.environ.get("CTTS_BENCH_PROBE_BACKOFF", "60"))
+    for attempt in range(tries):
+        got = probe_backend(timeout_s)
+        if got is not None:
+            return got[0], ""
+        print(
+            f"bench: backend probe {attempt + 1}/{tries} failed "
+            f"(JAX_PLATFORMS={os.environ.get('JAX_PLATFORMS', '')!r})",
+            file=sys.stderr,
+        )
+        if attempt + 1 < tries:
+            time.sleep(backoff_s)
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    err = (
+        "configured backend unavailable after "
+        f"{tries} probes x {timeout_s:.0f}s; CPU fallback"
+    )
+    got = probe_backend(timeout_s)
+    if got is None:  # even CPU will not come up — report and bail
+        return "none", err + "; CPU probe also failed"
+    return "cpu-fallback", err
+
+
 def main() -> None:
+    backend, backend_error = resolve_backend()
+    if backend == "none":
+        print(json.dumps({
+            "metric": "audio_seconds_per_second_per_chip",
+            "value": 0.0, "unit": "x_realtime", "vs_baseline": 0.0,
+            "backend": backend, "error": backend_error,
+        }))
+        return
+    if backend == "cpu-fallback":
+        # Bounded CPU run: one small batch, no long configs — a labeled
+        # liveness artifact, never conflated with a TPU measurement.
+        os.environ.setdefault("CTTS_BENCH_BATCH_MULT", "1")
+        os.environ.setdefault("CTTS_BENCH_ITERS", "2")
+        os.environ.setdefault("CTTS_BENCH_PARAGRAPH", "0")
+        os.environ.setdefault("CTTS_BENCH_1024", "0")
+        os.environ.setdefault("CTTS_BENCH_COMPUTE_PIPELINE", "1")
+
     import jax
+
+    if backend == "cpu-fallback":
+        # See probe_backend: env JAX_PLATFORMS alone does not undo the
+        # sitecustomize's config.update — force CPU in-process too.
+        jax.config.update("jax_platforms", "cpu")
+        from jax._src import xla_bridge as _xb
+
+        _xb._clear_backends()
 
     # Persistent compilation cache across bench runs/rounds.
     cache_dir = os.environ.get("CTTS_JAX_CACHE", "/tmp/ctts_jax_cache")
@@ -321,8 +413,20 @@ def main() -> None:
         "parity_length_match": len_match,
         "stretch_parity_max_abs_vs_oracle": s_max_abs,
         "stretch_parity_length_match": s_len_match,
+        "backend": backend,
+        "error": backend_error,
     }))
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # always leave ONE parseable JSON line
+        import traceback
+
+        traceback.print_exc()
+        print(json.dumps({
+            "metric": "audio_seconds_per_second_per_chip",
+            "value": 0.0, "unit": "x_realtime", "vs_baseline": 0.0,
+            "error": f"{type(e).__name__}: {e}",
+        }))

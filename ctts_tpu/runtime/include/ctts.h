@@ -27,7 +27,7 @@ extern "C" {
 
 /* ---- constants (ctts.h:18-38) ---- */
 
-#define CTTS_MAGIC 0x53545443u /* "CTTS" little-endian */
+#define CTTS_MAGIC 0x53545443u /* the bytes C,T,T,S read as LE u32 */
 #define CTTS_VERSION 1
 #define CTTS_SAMPLE_RATE 22050
 #define CTTS_BITS_PER_SAMPLE 16
@@ -76,46 +76,46 @@ typedef struct {
 
 /* ---- database structures, on-disk format (ctts.h:79-112) ---- */
 
-/* Database header — 64 bytes */
+/* On-disk header: exactly 64 bytes at file offset 0 */
 typedef struct {
-  uint32_t magic;             /* CTTS_MAGIC */
-  uint32_t version;           /* CTTS_VERSION */
-  uint32_t unit_count;        /* Number of units */
-  uint32_t sample_rate;       /* Audio sample rate */
-  uint32_t bits_per_sample;   /* Bits per sample (16) */
-  uint32_t index_offset;      /* Offset to index table */
-  uint32_t strings_offset;    /* Offset to string pool */
-  uint32_t audio_offset;      /* Offset to audio data */
-  uint32_t total_samples;     /* Total audio samples */
-  uint32_t max_unit_chars;    /* Maximum unit length in characters */
-  uint32_t hash_table_size;   /* Hash table size for lookups */
-  uint32_t hash_table_offset; /* Offset to hash table */
-  uint8_t reserved[16];       /* Reserved for future use */
+  uint32_t magic;             /* must equal CTTS_MAGIC */
+  uint32_t version;           /* format revision, currently 1 */
+  uint32_t unit_count;        /* how many units the index holds */
+  uint32_t sample_rate;       /* Hz of every stored unit (22050) */
+  uint32_t bits_per_sample;   /* always 16: PCM int16 */
+  uint32_t index_offset;      /* file position of the entry array */
+  uint32_t strings_offset;    /* file position of the text pool */
+  uint32_t audio_offset;      /* file position of the PCM block */
+  uint32_t total_samples;     /* length of the PCM block, in samples */
+  uint32_t max_unit_chars;    /* longest unit text, counted in chars */
+  uint32_t hash_table_size;   /* bucket count of the lookup table */
+  uint32_t hash_table_offset; /* file position of the bucket array */
+  uint8_t reserved[16];       /* zero-filled padding, keep zeroed */
 } CTTSHeader;
 
-/* Index entry — 32 bytes per unit (ctts.h:101-112) */
+/* One unit's on-disk record: 32 bytes (ctts.h:101-112) */
 typedef struct {
-  uint32_t hash;          /* FNV-1a hash of text */
-  uint32_t string_offset; /* Offset into string pool */
-  uint16_t string_len;    /* String length in bytes */
-  uint16_t char_count;    /* Character count (UTF-8 aware) */
-  uint32_t audio_offset;  /* Offset into audio data (in samples) */
-  uint32_t sample_count;  /* Number of samples */
-  uint32_t flags;         /* Reserved flags */
-  uint32_t next_hash;     /* Next entry with same hash (chaining) */
-  uint32_t reserved;      /* Reserved */
+  uint32_t hash;          /* FNV-1a over the unit's UTF-8 bytes */
+  uint32_t string_offset; /* where the text starts in the pool */
+  uint16_t string_len;    /* byte length of that text */
+  uint16_t char_count;    /* same text counted in codepoints */
+  uint32_t audio_offset;  /* start within the PCM block (samples) */
+  uint32_t sample_count;  /* unit duration in samples */
+  uint32_t flags;         /* unused, written as 0 */
+  uint32_t next_hash;     /* collision chain: index of the next entry */
+  uint32_t reserved;      /* unused, written as 0 */
 } CTTSIndexEntry;
 
 /* ---- runtime structures (ctts.h:114-155) ---- */
 
-/* Unit descriptor (in-memory) */
+/* Decoded per-unit view (heap-side, not on disk) */
 typedef struct {
-  char* text;            /* Unit text (UTF-8) */
-  uint16_t text_len;     /* Text length in bytes */
-  uint16_t char_count;   /* Character count */
-  int16_t* samples;      /* Audio samples */
-  uint32_t sample_count; /* Number of samples */
-  uint32_t hash;         /* Precomputed hash */
+  char* text;            /* the unit's UTF-8 string */
+  uint16_t text_len;     /* strlen of `text` in bytes */
+  uint16_t char_count;   /* `text` counted in codepoints */
+  int16_t* samples;      /* PCM for this unit */
+  uint32_t sample_count; /* how many samples `samples` holds */
+  uint32_t hash;         /* cached FNV-1a of `text` */
 } CTTSUnit;
 
 /* Main engine structure — transparent, matching the reference layout
@@ -124,32 +124,32 @@ typedef struct {
  * read-only except `config`. */
 typedef struct CTTS {
   /* Database mapping */
-  uint8_t* db_data; /* Memory-mapped database */
-  size_t db_size;   /* Database size */
-  int db_fd;        /* File descriptor (for munmap) */
+  uint8_t* db_data; /* base of the mmap'd .db file */
+  size_t db_size;   /* byte length of the mapping */
+  int db_fd;        /* kept open until ctts_free unmaps */
 
   /* Parsed header */
   CTTSHeader header;
 
   /* Pointers into mapped data */
-  CTTSIndexEntry* index; /* Index table */
-  uint32_t* hash_table;  /* Hash table for O(1) lookup */
-  char* strings;         /* String pool */
-  int16_t* audio;        /* Audio data */
+  CTTSIndexEntry* index; /* -> entry array inside the mapping */
+  uint32_t* hash_table;  /* -> bucket array (constant-time find) */
+  char* strings;         /* -> text pool */
+  int16_t* audio;        /* -> PCM block */
 
   /* Configuration */
-  CTTSConfig config; /* All configuration parameters */
+  CTTSConfig config; /* the engine's tunables; callers may write */
 
   /* Statistics */
-  uint32_t units_found;   /* Units successfully matched */
-  uint32_t units_missing; /* Units not found (fallback) */
+  uint32_t units_found;   /* running tally: lookups that hit */
+  uint32_t units_missing; /* running tally: lookups that fell back */
 } CTTS;
 
 /* Synthesis result (ctts.h:151-155) */
 typedef struct {
-  int16_t* samples;    /* Output samples (caller must free) */
-  size_t sample_count; /* Number of samples */
-  size_t capacity;     /* Allocated capacity */
+  int16_t* samples;    /* synthesized PCM; free with ctts_free_samples */
+  size_t sample_count; /* valid samples in `samples` */
+  size_t capacity;     /* allocation size (>= sample_count) */
 } CTTSSynthResult;
 
 /* ---- database building (ctts.h:160-181) ---- */

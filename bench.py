@@ -170,7 +170,9 @@ def main() -> None:
         # Bounded CPU run: one small batch, no long configs — a labeled
         # liveness artifact, never conflated with a TPU measurement.
         os.environ.setdefault("CTTS_BENCH_BATCH_MULT", "1")
-        os.environ.setdefault("CTTS_BENCH_ITERS", "2")
+        # 4 iters: with 2 the median degenerates to the mean of one
+        # cold and one pipeline-inflated rate.
+        os.environ.setdefault("CTTS_BENCH_ITERS", "4")
         os.environ.setdefault("CTTS_BENCH_PARAGRAPH", "0")
         os.environ.setdefault("CTTS_BENCH_1024", "0")
         os.environ.setdefault("CTTS_BENCH_COMPUTE_PIPELINE", "1")

@@ -33,6 +33,24 @@ PITCH_ANALYSIS = SAMPLE_RATE // 100  # 220
 _PITCH_SPAN = PITCH_MAX_LAG + PITCH_ANALYSIS  # 495
 
 
+def _vary(x):
+    """Mark a constant-built array as device-varying when tracing inside
+    a manual (shard_map) mesh region; identity otherwise and at runtime.
+
+    Scan/while carries seeded from in-body constants (jnp.zeros etc.)
+    type as replicated, while the carry outputs — mixed with per-shard
+    row data — type as varying; the varying-manual-axes checker then
+    rejects the loop. Casting the seed keeps the checker ON for the
+    sharded serving path (parallel/batch.py) instead of disabling it
+    with check_vma=False."""
+    from jax._src.mesh import get_abstract_mesh
+
+    axes = get_abstract_mesh().manual_axes
+    if not axes:
+        return x
+    return lax.pcast(x, axes, to="varying")
+
+
 def _pitch_backend() -> str:
     """Pitch-correlation backend: the Pallas kernel (ops/pallas/pitch.py)
     beats the 1-D conv's ~28 ms dispatch-latency floor ~20x on TPU; the

@@ -303,9 +303,11 @@ def time_stretch_device(
                                      max_steps, hop, out_size)
         out = wrap16(acc_f)
     else:
+        from ctts_tpu.ops.device_ops import _vary
+
         _, contribs = lax.scan(
             step,
-            (jnp.int32(0), jnp.array(False)),
+            (_vary(jnp.int32(0)), _vary(jnp.array(False))),
             (ks, run_all),
             unroll=unroll,
         )

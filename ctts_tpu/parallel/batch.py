@@ -74,7 +74,9 @@ def _compiled_batch_core(dims: PlanDims, ubuf: int, packed: bool = False,
             merged = jnp.where(iw < out_len[b], out[b], cur)
             return lax.dynamic_update_slice(p, merged, (offs[b],)), None
 
-        p0 = jnp.zeros(b_n * om, jnp.int16)
+        from ctts_tpu.ops.device_ops import _vary
+
+        p0 = _vary(jnp.zeros(b_n * om, jnp.int16))
         p, _ = lax.scan(place, p0, jnp.arange(b_n))
         return p, out_len, jnp.sum(ovf)[None]
 
@@ -85,15 +87,23 @@ def _compiled_batch_core(dims: PlanDims, ubuf: int, packed: bool = False,
 
     from ctts_tpu.parallel.mesh import DATA_AXIS
 
+    def run_varying(bank, lens, gains, arrays, shared):
+        # Cast the replicated inputs to device-varying up front (a
+        # type-level no-op — no data moves, no collectives). The body
+        # then computes on uniformly-varying values, so the
+        # varying-manual-axes checker can stay ON: it would otherwise
+        # reject the core's internal scans, whose carries mix
+        # replicated-initialized state with varying row data.
+        cast = lambda t: jax.tree.map(
+            lambda x: lax.pcast(x, DATA_AXIS, to="varying"), t)
+        return run(cast(bank), cast(lens), cast(gains), arrays,
+                   cast(shared))
+
     sm = jax.shard_map(
-        run,
+        run_varying,
         mesh=mesh,
         in_specs=(P(), P(), P(), P(DATA_AXIS), P()),
         out_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
-        # The body is collective-free (each shard packs its own rows);
-        # the core's internal scans carry replicated-initialized state,
-        # which the varying-manual-axes tracker would reject.
-        check_vma=False,
     )
     return jax.jit(sm)
 

@@ -1108,7 +1108,7 @@ def build_core(dims: PlanDims, ubuf: int, stage: str = "full"):
                 return flat, win
 
             unroll = int(os.environ.get("CTTS_SCAN_UNROLL", "1"))
-            flat0 = jnp.zeros(dims.R * dims.WREG, F32)
+            flat0 = dops._vary(jnp.zeros(dims.R * dims.WREG, F32))
             flat, wins = lax.scan(step, flat0, jnp.arange(dims.U),
                                   unroll=unroll)
             return flat.reshape(dims.R, dims.WREG), wins
@@ -1154,7 +1154,7 @@ def build_core(dims: PlanDims, ubuf: int, stage: str = "full"):
                                       (heads0, jnp.int32(0)))
             bufs, _ = compose_scan(contrib_fn(heads), fo, False)
         elif dims.exact_compose:
-            bufs0 = jnp.zeros((dims.R, dims.WREG), F32)
+            bufs0 = dops._vary(jnp.zeros((dims.R, dims.WREG), F32))
             bufs, _ = lax.scan(unit_step_fn(bank, bank_lens, gains, ar),
                                bufs0, jnp.arange(dims.U))
         else:

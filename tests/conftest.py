@@ -10,22 +10,33 @@ import shutil
 import subprocess
 import sys
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# CTTS_TEST_TPU=1 runs the suite against the real TPU backend instead of
+# the virtual CPU mesh (for the on-hardware acceptance pass, e.g.
+#   CTTS_TEST_TPU=1 pytest tests/test_golden_device.py -m slow --no-header
+# ). Tests that require the 8-device mesh must check device_count.
+TPU_MODE = os.environ.get("CTTS_TEST_TPU") == "1"
 
-# A sitecustomize hook may have initialized jax on the TPU backend before
-# this conftest ran; force re-initialization on the 8-device CPU platform.
+if not TPU_MODE:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in _flags:
+        os.environ["XLA_FLAGS"] = (
+            _flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
-from jax._src import xla_bridge  # noqa: E402
+if not TPU_MODE:
+    # A sitecustomize hook may have initialized jax on the TPU backend
+    # before this conftest ran; force re-init on the 8-device CPU
+    # platform (the env var alone does not undo the hook's
+    # config.update).
+    jax.config.update("jax_platforms", "cpu")
+    from jax._src import xla_bridge  # noqa: E402
 
-xla_bridge._clear_backends()
-assert jax.device_count() == 8, "expected 8 virtual CPU devices for tests"
+    xla_bridge._clear_backends()
+    assert jax.device_count() == 8, \
+        "expected 8 virtual CPU devices for tests"
 
 # Persistent compile cache: the suite's big vmapped cores take minutes
 # each to compile on CPU, and XLA:CPU occasionally segfaults after many

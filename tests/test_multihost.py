@@ -22,8 +22,13 @@ coordinator, pid, dbp, outp = sys.argv[1], int(sys.argv[2]), sys.argv[3], sys.ar
 # docstring).
 import jax
 
+# shutdown_timeout: both workers compile the mesh core fresh (mesh
+# cores are excluded from the persistent cache), and on a loaded host
+# the compile skew between ranks can exceed the 5-min default shutdown
+# barrier — the fast rank then kills the slow one mid-compile.
 jax.distributed.initialize(coordinator_address=coordinator,
-                           num_processes=2, process_id=pid)
+                           num_processes=2, process_id=pid,
+                           shutdown_timeout_seconds=540)
 
 from ctts_tpu.parallel.multihost import synthesize_across_hosts
 assert jax.process_count() == 2
@@ -95,7 +100,7 @@ def test_two_process_dcn_dispatch(voice_db, tmp_path):
     ]
     logs = []
     for p in procs:
-        out, _ = p.communicate(timeout=600)
+        out, _ = p.communicate(timeout=900)
         logs.append(out)
     for p, log in zip(procs, logs):
         assert p.returncode == 0, f"worker failed:\n{log[-4000:]}"

@@ -1340,35 +1340,11 @@ def build_core(dims: PlanDims, ubuf: int, stage: str = "full"):
         fracc = src - idxc.astype(F32)
         in_rangec = idxc + 1 < FRC
         D = dims.contour_drift
-        mcb = max((D - 2) / 256.0, 1e-6)
         wpadc = jnp.concatenate(
             [jnp.zeros((K_slots, D), F32), winm], axis=1
         )
         driftc = idxc - ic256[None, :]
-        ca = jnp.zeros((K_slots, FRC), F32)
-        cb = jnp.zeros((K_slots, FRC), F32)
-        w_prev = lax.slice(wpadc, (0, 0), (K_slots, FRC))
-        for delta in range(-D, D + 1):
-            w_d = w_prev
-            w_d1 = lax.slice(wpadc, (0, D + delta + 1),
-                             (K_slots, D + delta + 1 + FRC))
-            w_prev = w_d1
-            # First column where |drift| can reach |delta|
-            # (|trunc(i·pf) - i| ≤ i·mcb + 1), floored to 64-column
-            # granularity on TPU (~17% fewer select columns than 128,
-            # same exact hits). CPU keeps 128: the 64-aligned
-            # slice/update pattern in the large vmapped program
-            # triggers an XLA:CPU compiler segfault.
-            grain = 128 if jax.default_backend() == "cpu" else 64
-            i0 = 0 if delta == 0 else int((abs(delta) - 1) / mcb)
-            i0 = (i0 // grain) * grain
-            if i0 >= FRC:
-                continue
-            sl_hit = driftc[:, i0:] == delta
-            ca = ca.at[:, i0:].set(jnp.where(sl_hit, w_d[:, i0:],
-                                             ca[:, i0:]))
-            cb = cb.at[:, i0:].set(jnp.where(sl_hit, w_d1[:, i0:],
-                                             cb[:, i0:]))
+        ca, cb = dops.shifted_select_resample(wpadc, driftc, D, FRC)
         ca = jnp.where(pos_s[:, None] + idxc < cnt_s[:, None], ca,
                        F32(0.0))
         samplec = jnp.where(in_rangec,

@@ -89,3 +89,30 @@ def test_fuzz_vs_c_binary(ref_build, voice_db, tmp_path):
             diff = np.abs(ref.astype(np.int32) - got.astype(np.int32))
             bad = int((diff > 2).sum())
             assert bad <= 64, (i, text, bad, diff.max())
+
+
+def test_fuzz_device_vs_oracle(voice_db):
+    """Randomized texts through the DEVICE executor (BatchSynthesizer,
+    the production TPU path): punctuation runs, unknown chars, number
+    boundaries — batched under the serving dims floor so the whole fuzz
+    set shares one XLA compile. Budget 32 LSB (the driver's 1e-3
+    full-scale bar); decision flips would blow it by orders."""
+    from ctts_tpu.parallel.batch import BatchSynthesizer
+
+    db = VoiceDatabase(voice_db)
+    config = config_defaults()
+    rng = random.Random(20260818)
+    texts = [_random_text(rng) for _ in range(24)]
+
+    floor = {"U": 32, "R": 16, "FD": 8, "WREG": 32768, "SMAX": 131072,
+             "CONTW": 32768, "WIN": 2048, "CFMAX": 1024}
+    bs = BatchSynthesizer(db, config, dims_floor=floor)
+    outs = bs.synthesize(texts)
+
+    for i, (t, got) in enumerate(zip(texts, outs)):
+        plan = compile_plan(db, t, config, None, 1.0)
+        ref = execute_plan_oracle(plan, db)
+        assert ref.shape[0] == got.shape[0], (i, t)
+        if ref.shape[0]:
+            diff = np.abs(ref.astype(np.int32) - got.astype(np.int32))
+            assert diff.max() <= 32, (i, t, int(diff.max()))

@@ -280,6 +280,7 @@ def main() -> None:
     # WSOLA stretch path (speed 1.5): separate bucket/compile; realtime
     # factor counts *output* audio seconds.
     stretch_rtf = 0.0
+    stretch_compute_rtf = 0.0
     stretch_outs = None
     if os.environ.get("CTTS_BENCH_STRETCH", "1") == "1":
         for _ in bs.stream([texts], speed=1.5):  # compile + warmup
@@ -295,6 +296,25 @@ def main() -> None:
             t0 = t1
             stretch_outs = s_outs
         stretch_rtf = float(np.median(s_rates)) / max(n_chips, 1)
+
+        # Compute-only stretch rate (same protocol as the speed-1.0
+        # compute number: K pipelined dispatches, one out_lens sync —
+        # excludes the tunnel's 20-40 MB/s D2H, which alone caps the
+        # end-to-end stretch figure at ~650x here).
+        s_rows = []
+        for spl in bs.compile_plans(texts, 1.5):
+            s_rows.extend(split_plan(spl, db))
+        sc_rates = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            s_handles = [bs._dispatch(s_rows) for _ in range(K)]
+            s_audio = 0.0
+            for handles in s_handles:
+                for _, items, h in handles[1]:
+                    lens = np.asarray(h[3])
+                    s_audio += float(lens[: h[0]].sum()) / SAMPLE_RATE
+            sc_rates.append(s_audio / (time.perf_counter() - t0))
+        stretch_compute_rtf = float(np.median(sc_rates)) / max(n_chips, 1)
 
     # Long multi-sentence paragraph (BASELINE.json configs[2]): numbers,
     # abbreviations and punctuation pauses through split_plan on device
@@ -405,6 +425,7 @@ def main() -> None:
         "n_chips": n_chips,
         "batch_sentences": len(texts),
         "stretch_x_realtime_per_chip": round(stretch_rtf, 2),
+        "stretch_compute_x_realtime_per_chip": round(stretch_compute_rtf, 2),
         "device_compute_x_realtime_per_chip": round(compute_rtf, 2),
         "paragraph_x_realtime_per_chip": round(paragraph_rtf, 2),
         "paragraph_parity_ok": paragraph_parity_ok,

@@ -14,6 +14,8 @@ Parity sources cited per function (file:line into /root/reference).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -57,30 +59,43 @@ def shifted_select_resample(wpad, drift, D: int, FR: int):
     (guaranteed by contour_drift's construction, device.derive_dims).
 
     TPU gathers run at a few tens of M elements/s; 2D+1 shifted selects
-    are ~100× faster, and each delta's select only runs on the static
-    column suffix its drift bound can reach, rounded down to the lane
-    grain (~30% less select work, exact same result). The delta+1 slice
-    is reused as the next iteration's delta slice (b reads win[idx+1]).
+    are ~100× faster. Each element is hit by EXACTLY ONE delta (its own
+    drift), so the pick is computed as a SUM of masked shifted windows
+    instead of a chain of at[].set read-modify-write passes — the 2D+1
+    sequential full-array passes could not fuse (measured 55 ms/batch
+    on v5e; the sum tree fuses into one pass per column block). Per
+    column block, only the deltas whose triangular drift bound can
+    reach that block contribute, rounded to the lane grain (~40% fewer
+    terms, exact same result). Summing ±0.0 from the non-hit terms can
+    flip a -0.0 pick to +0.0; the int16 quantizer downstream erases the
+    distinction (and the grains test compares with ==, where -0.0 == 0.0).
     """
     K = wpad.shape[0]
     mcb = max((D - 2) / 256.0, 1e-6)
     grain = resample_select_grain()
-    a = jnp.zeros((K, FR), F32)
-    b = jnp.zeros((K, FR), F32)
-    w_prev = lax.slice(wpad, (0, 0), (K, FR))  # delta = -D
-    for delta in range(-D, D + 1):
-        w_d = w_prev
-        w_d1 = lax.slice(wpad, (0, D + delta + 1),
-                         (K, D + delta + 1 + FR))
-        w_prev = w_d1
-        i0 = 0 if delta == 0 else int((abs(delta) - 1) / mcb)
-        i0 = (i0 // grain) * grain
-        if i0 >= FR:
-            continue
-        sl_hit = drift[:, i0:] == delta
-        a = a.at[:, i0:].set(jnp.where(sl_hit, w_d[:, i0:], a[:, i0:]))
-        b = b.at[:, i0:].set(jnp.where(sl_hit, w_d1[:, i0:], b[:, i0:]))
-    return a, b
+    a_blocks, b_blocks = [], []
+    for c in range(0, FR, grain):
+        w = min(grain, FR - c)
+        d_blk = drift[:, c:c + w]
+        ta = tb = None
+        for delta in range(-D, D + 1):
+            i0 = 0 if delta == 0 else int((abs(delta) - 1) / mcb)
+            i0 = (i0 // grain) * grain
+            if i0 > c:
+                continue
+            hit = d_blk == delta
+            w_d = lax.slice(wpad, (0, D + delta + c),
+                            (K, D + delta + c + w))
+            w_d1 = lax.slice(wpad, (0, D + delta + 1 + c),
+                             (K, D + delta + 1 + c + w))
+            pa = jnp.where(hit, w_d, F32(0.0))
+            pb = jnp.where(hit, w_d1, F32(0.0))
+            ta = pa if ta is None else ta + pa
+            tb = pb if tb is None else tb + pb
+        a_blocks.append(ta)
+        b_blocks.append(tb)
+    return (jnp.concatenate(a_blocks, axis=1),
+            jnp.concatenate(b_blocks, axis=1))
 
 
 def _vary(x):
@@ -404,6 +419,55 @@ def _cumsum_i32(x: jnp.ndarray) -> jnp.ndarray:
     return (within + excl[..., None]).reshape(x.shape)
 
 
+def _seg_extract_backend() -> str:
+    choice = os.environ.get("CTTS_SEG_EXTRACT", "auto")
+    if choice != "auto":
+        return choice
+    return "hier" if jax.default_backend() != "cpu" else "topk"
+
+
+def _first_nblk_flagged(flags: jnp.ndarray, i: jnp.ndarray,
+                        W: int) -> jnp.ndarray:
+    """Indices of the first NBLK True positions of `flags` [W], ascending,
+    padded with W. See the call site in silence_segments for the two
+    lowerings' rationale."""
+    if _seg_extract_backend() == "hier" and W >= 128:
+        Wp = _roundup128(W)
+        f2 = flags
+        if Wp != W:
+            f2 = jnp.concatenate([f2, jnp.zeros(Wp - W, bool)])
+        f2 = f2.reshape(-1, 128).astype(jnp.int32)       # [NB2, 128]
+        nb2 = f2.shape[0]
+        wc = jnp.cumsum(f2, axis=1)                      # in-block rank
+        cnt_b = wc[:, -1]                                # flags per block
+        cx = jnp.concatenate(
+            [jnp.zeros(1, jnp.int32), jnp.cumsum(cnt_b)[:-1]])
+        s_vals = jnp.arange(1, NBLK + 1, dtype=jnp.int32)
+        hitb = ((cx[None, :] < s_vals[:, None])
+                & (s_vals[:, None] <= (cx + cnt_b)[None, :]))
+        jb = jnp.sum(jnp.where(
+            hitb, jnp.arange(nb2, dtype=jnp.int32)[None, :], 0), axis=1)
+        cb = jnp.sum(jnp.where(hitb, cx[None, :], 0), axis=1)
+        found = jnp.any(hitb, axis=1)
+        # Exact one-hot row picks (values ≤ 128 are bf16-exact; exactly
+        # one nonzero product per output).
+        sel = hitb.astype(F32)
+        wrow = sel @ wc.astype(F32)                      # [NBLK, 128]
+        frow = sel @ f2.astype(F32)
+        r_s = (s_vals - cb).astype(F32)
+        lane = jnp.arange(128, dtype=jnp.int32)
+        hitl = (wrow == r_s[:, None]) & (frow > F32(0.5))
+        lpos = jnp.min(jnp.where(hitl, lane[None, :], 128), axis=1)
+        return jnp.where(found, jb * 128 + lpos, W).astype(jnp.int32)
+    neg = jnp.where(flags, -i, -W - 1)
+    nv, _ = lax.top_k(neg, NBLK)
+    return jnp.minimum(-nv, W).astype(jnp.int32)
+
+
+def _roundup128(x: int) -> int:
+    return -(-x // 128) * 128
+
+
 def silence_segments(
     buf: jnp.ndarray,
     length: jnp.ndarray,
@@ -458,17 +522,21 @@ def silence_segments(
     next_keep = jnp.concatenate([keep[1:], jnp.array([False])])
     seg_end_flag = keep & (~next_keep)
 
-    # Extract the first NBLK segment bounds in order. The flag cumsums
-    # are monotone and jump exactly at flagged positions, so segment s's
-    # start is the first index with cumsum >= s — a binary search
-    # (searchsorted), ~log2(W) probes per segment instead of the
-    # [NBLK, W] broadcast compare this used to do (~1 GB of bool
-    # traffic per 64x16-region batch at CONTW=29696).
-    seg_idx = _cumsum_i32(seg_start_flag.astype(jnp.int32))
-    cum_end = _cumsum_i32(seg_end_flag.astype(jnp.int32))
-    s_vals = jnp.arange(1, NBLK + 1, dtype=jnp.int32)
-    starts = jnp.searchsorted(seg_idx, s_vals, side="left").astype(jnp.int32)
-    ends = jnp.searchsorted(cum_end, s_vals, side="left").astype(jnp.int32)
+    # Extract the first NBLK segment bounds in order (replaces the flag
+    # cumsums + vmapped binary searches — searchsorted lowers to
+    # ~log2(W) serialized gather probes per segment, the bulk of the
+    # segtables stage on TPU). Two lowerings, bit-identical (pinned by
+    # tests/test_device_executor.py::test_first_nblk_extract_equal):
+    # - "hier": per-128-block flag counts -> the s-th flag's block via a
+    #   [NBLK, W/128] interval compare, its in-block rank via an exact
+    #   one-hot row pick of the within-block cumsum. TPU default; the
+    #   reshape+cumsum pattern segfaults XLA:CPU inside the large
+    #   vmapped core (same gate as _cumsum_i32).
+    # - "topk": one lax.top_k of the negated masked indices per flag
+    #   array. Portable fallback / CPU default.
+    # Missing segments yield W, matching searchsorted's not-found value.
+    starts = _first_nblk_flagged(seg_start_flag, i, W)
+    ends = _first_nblk_flagged(seg_end_flag, i, W)
     valid_seg = starts < W
     seg_len = jnp.where(valid_seg, ends - starts + 1, 0)
     # Overflow: >NBLK segments → last slot becomes a catch-all that keeps

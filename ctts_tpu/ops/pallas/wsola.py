@@ -67,31 +67,180 @@ def _roundup(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _make_kernel(hop, OR):
-    from jax.experimental import pallas as pl
+def _consts():
+    """Trip-invariant iota masks shared by the per-frame step."""
+    rowi = lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
+    lanei = lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
+    # Cᵀ is indexed [col, w]: the w-lane contraction splits into the
+    # same-row ("upper", w ≥ stride·b) and next-row parts.
+    b_of_row = rowi % 32
+    up4 = (lanei >= 4 * b_of_row).astype(F32)
+    up1 = (lanei >= b_of_row).astype(F32)
+
+    # Block-3 layout: entry [a, b] (a<3 rows, b<32 lanes) is
+    # candidate 32a + b.
+    ai = lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
+    bi = lax.broadcasted_iota(jnp.int32, (8, LANES), 1)
+    cc = 32 * ai + bi
+    c_ok = (ai < 3) & (bi < 32) & (cc < NCOARSE)
+    return up4, up1, ai, bi, cc, c_ok
+
+
+def _circulant(th3, stride, steps):
+    """[128, 128] Cᵀ with row 32r+b = th_r lane-rotated right by
+    stride·b, for b < 2^steps (other rows zero). The lane rotation
+    is mod 128 — exactly the circulant index (w - stride·b)."""
     from jax.experimental.pallas import tpu as pltpu
 
-    def load_rolled(ref, pos):
-        """2048 samples starting at `pos` (any traced offset ≥ 0):
-        aligned 16-row slice + flat roll by the ≤1023 remainder."""
-        q8 = (pos // 1024) * 8
-        rem = pos - (pos // 1024) * 1024
-        w = ref[pl.ds(pl.multiple_of(q8, 8), 16), :]
-        return flat_roll_left(w, rem)
+    z31 = jnp.zeros((31, LANES), F32)
+    t = jnp.concatenate([
+        th3[0:1], z31, th3[1:2], z31, th3[2:3], z31,
+        jnp.zeros((32, LANES), F32),
+    ])                                           # rows 0/32/64 = th_r
+    for i in range(steps):
+        m = 1 << i
+        t = t + pltpu.roll(pltpu.roll(t, m, 0), stride * m, 1)
+    return t
 
-    def circulant(th3, stride, steps):
-        """[128, 128] Cᵀ with row 32r+b = th_r lane-rotated right by
-        stride·b, for b < 2^steps (other rows zero). The lane rotation
-        is mod 128 — exactly the circulant index (w - stride·b)."""
-        z31 = jnp.zeros((31, LANES), F32)
-        t = jnp.concatenate([
-            th3[0:1], z31, th3[1:2], z31, th3[2:3], z31,
-            jnp.zeros((32, LANES), F32),
-        ])                                           # rows 0/32/64 = th_r
-        for i in range(steps):
-            m = 1 << i
-            t = t + pltpu.roll(pltpu.roll(t, m, 0), stride * m, 1)
-        return t
+
+_BIG = 1 << 30
+_DN = (((1,), (1,)), ((), ()))                   # contract both dim-1
+
+
+def _gsum(f):
+    """Σ_r f[a+r, 32r+b] → valid at rows a<3, lanes b<32."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    return (f + pltpu.roll(pltpu.roll(f, 7, 0), 96, 1)
+            + pltpu.roll(pltpu.roll(f, 6, 0), 64, 1))
+
+
+def _corr_at(Rah, Ral, Rbh, Rbl, cth, ctl, up, sq1, sq2):
+    """Exact correlation at the lags encoded by (cth, ctl, up);
+    same op order as the XLA step ⇒ bit-identical corr."""
+    lo = F32(1.0) - up
+    cu_h, cl_h = cth * up, cth * lo
+    cu_l, cl_l = ctl * up, ctl * lo
+
+    def dotT(r, c):
+        return lax.dot_general(r, c, _DN, preferred_element_type=F32)
+
+    hh = _gsum(dotT(Rah, cu_h) + dotT(Rbh, cl_h))
+    mid = _gsum(dotT(Rah, cu_l) + dotT(Rbh, cl_l)
+                + dotT(Ral, cu_h) + dotT(Rbl, cl_h))
+    ll = _gsum(dotT(Ral, cu_l) + dotT(Rbl, cl_l))
+    # combine_exact inline (ops/exact.py).
+    a = F32(65536.0) * hh
+    b = F32(256.0) * mid
+    s = a + b
+    bv = s - a
+    e = (a - (s - bv)) + (b - bv)
+    num = s + (e + ll)
+
+    denom = jnp.sqrt(sq1 * sq2)
+    return jnp.where(denom < F32(1.0), F32(0.0), num / denom)
+
+
+def _first_argmax(corr, idx):
+    """Value + EARLIEST index among ties (= jnp.argmax)."""
+    m = jnp.max(corr)
+    i = jnp.min(jnp.where(corr == m, idx, jnp.int32(_BIG)))
+    return m, i
+
+
+def _frame_step(k, qo_prev, input_count, vh, vl, sqv, sv4, win4, consts):
+    """One WSOLA frame decision + windowed contribution, given the
+    already-loaded 2048-sample window planes at nominal = k·AHOP.
+    Returns (qo, c16): the chosen offset's win768 index (next frame's
+    carry) and the [16, 128] windowed frame contribution. Pure value
+    code shared VERBATIM by the per-sentence kernel and the
+    S-interleaved batch kernel — bit-parity by construction."""
+    up4, up1, ai, bi, cc, c_ok = consts
+    big = jnp.int32(_BIG)
+    nominal = k * AHOP
+
+    th_h = flat_roll_left(vh, qo_prev)[:3]   # [3,128] prev tail
+    th_l = flat_roll_left(vl, qo_prev)[:3]
+    # sq2 = exact tail energy = table entry at the tail's padded
+    # position nominal + qo_prev (sqs is shifted by +128). The
+    # [1,1]→scalar reduction makes the later sq1*sq2 a scalar
+    # broadcast (Mosaic lacks a 2-axis vector broadcast).
+    sq2 = jnp.max(flat_roll_left(sqv, qo_prev + MAX_SHIFT
+                                 )[0:1, 0:1])
+
+    # --- coarse: 65 lags, stride 4 ----------------------------
+    ct4h = _circulant(th_h, 4, 5)
+    ct4l = _circulant(th_l, 4, 5)
+    sq1c = jnp.concatenate([
+        sv4[0:1],
+        flat_roll_left(sv4, 32)[0:1],
+        flat_roll_left(sv4, 64)[0:1],
+        jnp.zeros((5, LANES), F32),
+    ])                                       # [a, b] block-3
+    corr_c = _corr_at(vh[:8], vl[:8], vh[1:9], vl[1:9],
+                      ct4h, ct4l, up4, sq1c, sq2)
+    pos_c = nominal + 4 * cc - MAX_SHIFT     # input coords
+    valid_c = c_ok & (pos_c >= 0) & \
+        (pos_c + FRAME <= input_count)
+    corr_c = jnp.where(valid_c, corr_c, -jnp.inf)
+    best_corr, bc = _first_argmax(corr_c, jnp.where(c_ok, cc, big))
+    best_off = 4 * bc - MAX_SHIFT
+    none_valid = best_corr == -jnp.inf
+    best_off = jnp.where(none_valid, 0, best_off)
+    best_corr = jnp.where(none_valid, F32(-2.0), best_corr)
+
+    # --- fine: best_off-3 .. +3, center skipped ---------------
+    fidx0 = best_off + MAX_SHIFT - 3         # win768 idx, ≥ -3
+    fh = flat_roll_left(vh, (fidx0 + _LOADW) % _LOADW)
+    fl = flat_roll_left(vl, (fidx0 + _LOADW) % _LOADW)
+    ct1h = _circulant(th_h, 1, 3)
+    ct1l = _circulant(th_l, 1, 3)
+    sq1f = jnp.concatenate([
+        flat_roll_left(sqv, fidx0 + MAX_SHIFT)[0:1],  # ≥ 125
+        jnp.zeros((7, LANES), F32),
+    ])
+    corr_f = _corr_at(fh[:8], fl[:8], fh[1:9], fl[1:9],
+                      ct1h, ct1l, up1, sq1f, sq2)
+    fpos = fidx0 + bi                        # win768 index
+    f_ok = (ai == 0) & (bi < 7) & (bi != 3) & (fpos >= 0) & \
+        (fpos <= 2 * MAX_SHIFT) & \
+        (nominal + fpos - MAX_SHIFT >= 0) & \
+        (nominal + fpos - MAX_SHIFT + FRAME <= input_count)
+    corr_f = jnp.where(f_ok, corr_f, -jnp.inf)
+    fine_corr, bf = _first_argmax(corr_f,
+                                  jnp.where(ai == 0, bi, big))
+    improved = fine_corr > best_corr
+    offset = jnp.where(improved, best_off + bf - 3, best_off)
+
+    offset = jnp.where(k > 0, offset, 0)
+    actual = nominal + offset
+    actual = jnp.where(actual + FRAME > input_count,
+                       input_count - FRAME, actual)
+    actual = jnp.maximum(actual, 0)
+    qo = actual - nominal + MAX_SHIFT        # ∈ [0, 256]
+
+    # --- frame fetch + window ---------------------------------
+    f4h = flat_roll_left(vh, qo)[:4]
+    f4l = flat_roll_left(vl, qo)[:4]
+    frame = F32(256.0) * f4h + f4l           # exact reconstruction
+    contrib = jnp.trunc(frame * win4)
+    c16 = jnp.concatenate([contrib, jnp.zeros((12, LANES), F32)])
+    return qo, c16
+
+
+def _load_rolled(ref, pos):
+    """2048 samples starting at `pos` (any traced offset ≥ 0):
+    aligned 16-row slice + flat roll by the ≤1023 remainder."""
+    from jax.experimental import pallas as pl
+
+    q8 = (pos // 1024) * 8
+    rem = pos - (pos // 1024) * 1024
+    w = ref[pl.ds(pl.multiple_of(q8, 8), 16), :]
+    return flat_roll_left(w, rem)
+
+
+def _make_kernel(hop, OR):
+    from jax.experimental import pallas as pl
 
     def kernel(scal_ref, ih_ref, il_ref, sqs_ref, sq4_ref, win_ref,
                acc_ref, norm_ref):
@@ -101,135 +250,16 @@ def _make_kernel(hop, OR):
         nrun = scal_ref[0, 1]
         win4 = win_ref[:]                            # [4,128] hann(512)
         win16 = jnp.concatenate([win4, jnp.zeros((12, LANES), F32)])
-
-        rowi = lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
-        lanei = lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
-        # Cᵀ is indexed [col, w]: the w-lane contraction splits into the
-        # same-row ("upper", w ≥ stride·b) and next-row parts.
-        b_of_row = rowi % 32
-        up4 = (lanei >= 4 * b_of_row).astype(F32)
-        up1 = (lanei >= b_of_row).astype(F32)
-
-        # Block-3 layout: entry [a, b] (a<3 rows, b<32 lanes) is
-        # candidate 32a + b.
-        ai = lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
-        bi = lax.broadcasted_iota(jnp.int32, (8, LANES), 1)
-        cc = 32 * ai + bi
-        c_ok = (ai < 3) & (bi < 32) & (cc < NCOARSE)
-
-        big = jnp.int32(1 << 30)
-        dn = (((1,), (1,)), ((), ()))                # contract both dim-1
-
-        def gsum(f):
-            """Σ_r f[a+r, 32r+b] → valid at rows a<3, lanes b<32."""
-            return (f + pltpu.roll(pltpu.roll(f, 7, 0), 96, 1)
-                    + pltpu.roll(pltpu.roll(f, 6, 0), 64, 1))
-
-        def corr_at(Rah, Ral, Rbh, Rbl, cth, ctl, up, sq1, sq2):
-            """Exact correlation at the lags encoded by (cth, ctl, up);
-            same op order as the XLA step ⇒ bit-identical corr."""
-            lo = F32(1.0) - up
-            cu_h, cl_h = cth * up, cth * lo
-            cu_l, cl_l = ctl * up, ctl * lo
-
-            def dotT(r, c):
-                return lax.dot_general(r, c, dn,
-                                       preferred_element_type=F32)
-
-            hh = gsum(dotT(Rah, cu_h) + dotT(Rbh, cl_h))
-            mid = gsum(dotT(Rah, cu_l) + dotT(Rbh, cl_l)
-                       + dotT(Ral, cu_h) + dotT(Rbl, cl_h))
-            ll = gsum(dotT(Ral, cu_l) + dotT(Rbl, cl_l))
-            # combine_exact inline (ops/exact.py).
-            a = F32(65536.0) * hh
-            b = F32(256.0) * mid
-            s = a + b
-            bv = s - a
-            e = (a - (s - bv)) + (b - bv)
-            num = s + (e + ll)
-
-            denom = jnp.sqrt(sq1 * sq2)
-            return jnp.where(denom < F32(1.0), F32(0.0), num / denom)
-
-        def first_argmax(corr, idx):
-            """Value + EARLIEST index among ties (= jnp.argmax)."""
-            m = jnp.max(corr)
-            i = jnp.min(jnp.where(corr == m, idx, big))
-            return m, i
+        consts = _consts()
 
         def body(k, qo_prev):
             nominal = k * AHOP
-            vh = load_rolled(ih_ref, nominal)        # [16,128]
-            vl = load_rolled(il_ref, nominal)
-            sqv = load_rolled(sqs_ref, nominal)      # sqs[nominal + j]
-
-            th_h = flat_roll_left(vh, qo_prev)[:3]   # [3,128] prev tail
-            th_l = flat_roll_left(vl, qo_prev)[:3]
-            # sq2 = exact tail energy = table entry at the tail's padded
-            # position nominal + qo_prev (sqs is shifted by +128). The
-            # [1,1]→scalar reduction makes the later sq1*sq2 a scalar
-            # broadcast (Mosaic lacks a 2-axis vector broadcast).
-            sq2 = jnp.max(flat_roll_left(sqv, qo_prev + MAX_SHIFT
-                                         )[0:1, 0:1])
-
-            # --- coarse: 65 lags, stride 4 ----------------------------
-            ct4h = circulant(th_h, 4, 5)
-            ct4l = circulant(th_l, 4, 5)
-            sv4 = load_rolled(sq4_ref, 32 * k)
-            sq1c = jnp.concatenate([
-                sv4[0:1],
-                flat_roll_left(sv4, 32)[0:1],
-                flat_roll_left(sv4, 64)[0:1],
-                jnp.zeros((5, LANES), F32),
-            ])                                       # [a, b] block-3
-            corr_c = corr_at(vh[:8], vl[:8], vh[1:9], vl[1:9],
-                             ct4h, ct4l, up4, sq1c, sq2)
-            pos_c = nominal + 4 * cc - MAX_SHIFT     # input coords
-            valid_c = c_ok & (pos_c >= 0) & \
-                (pos_c + FRAME <= input_count)
-            corr_c = jnp.where(valid_c, corr_c, -jnp.inf)
-            best_corr, bc = first_argmax(corr_c, jnp.where(c_ok, cc, big))
-            best_off = 4 * bc - MAX_SHIFT
-            none_valid = best_corr == -jnp.inf
-            best_off = jnp.where(none_valid, 0, best_off)
-            best_corr = jnp.where(none_valid, F32(-2.0), best_corr)
-
-            # --- fine: best_off-3 .. +3, center skipped ---------------
-            fidx0 = best_off + MAX_SHIFT - 3         # win768 idx, ≥ -3
-            fh = flat_roll_left(vh, (fidx0 + _LOADW) % _LOADW)
-            fl = flat_roll_left(vl, (fidx0 + _LOADW) % _LOADW)
-            ct1h = circulant(th_h, 1, 3)
-            ct1l = circulant(th_l, 1, 3)
-            sq1f = jnp.concatenate([
-                flat_roll_left(sqv, fidx0 + MAX_SHIFT)[0:1],  # ≥ 125
-                jnp.zeros((7, LANES), F32),
-            ])
-            corr_f = corr_at(fh[:8], fl[:8], fh[1:9], fl[1:9],
-                             ct1h, ct1l, up1, sq1f, sq2)
-            fpos = fidx0 + bi                        # win768 index
-            f_ok = (ai == 0) & (bi < 7) & (bi != 3) & (fpos >= 0) & \
-                (fpos <= 2 * MAX_SHIFT) & \
-                (nominal + fpos - MAX_SHIFT >= 0) & \
-                (nominal + fpos - MAX_SHIFT + FRAME <= input_count)
-            corr_f = jnp.where(f_ok, corr_f, -jnp.inf)
-            fine_corr, bf = first_argmax(corr_f,
-                                         jnp.where(ai == 0, bi, big))
-            improved = fine_corr > best_corr
-            offset = jnp.where(improved, best_off + bf - 3, best_off)
-
-            offset = jnp.where(k > 0, offset, 0)
-            actual = nominal + offset
-            actual = jnp.where(actual + FRAME > input_count,
-                               input_count - FRAME, actual)
-            actual = jnp.maximum(actual, 0)
-            qo = actual - nominal + MAX_SHIFT        # ∈ [0, 256]
-
-            # --- frame fetch + window + in-kernel OLA -----------------
-            f4h = flat_roll_left(vh, qo)[:4]
-            f4l = flat_roll_left(vl, qo)[:4]
-            frame = F32(256.0) * f4h + f4l           # exact reconstruction
-            contrib = jnp.trunc(frame * win4)
-            c16 = jnp.concatenate([contrib, jnp.zeros((12, LANES), F32)])
+            vh = _load_rolled(ih_ref, nominal)       # [16,128]
+            vl = _load_rolled(il_ref, nominal)
+            sqv = _load_rolled(sqs_ref, nominal)     # sqs[nominal + j]
+            sv4 = _load_rolled(sq4_ref, 32 * k)
+            qo, c16 = _frame_step(k, qo_prev, input_count,
+                                  vh, vl, sqv, sv4, win4, consts)
 
             # Accumulate at synth position k·hop. Sequential-k adds ARE
             # the C's accumulation order (ascending frames at every
@@ -252,6 +282,147 @@ def _make_kernel(hop, OR):
         lax.fori_loop(0, nrun, body, jnp.int32(0))
 
     return kernel
+
+
+def _make_batch_kernel(hop, OR, S):
+    """S-interleaved kernel: one program advances S sentences' frame
+    chains in lockstep (inner s-loop unrolled), so the compiler can
+    overlap S independent dependency chains — the per-sentence kernel
+    is latency-bound at ~2.5 µs/frame and grid programs serialize, so
+    B sequential chains waste the whole machine between dependent ops.
+    Frames past a sentence's own nrun are masked: their contribution
+    and norm adds are zeroed and the qo carry is frozen, so the OLA
+    state and every carried value equal the per-sentence kernel's
+    (asserted by tests/test_pallas_wsola.py::test_batch_kernel_parity).
+    """
+    from jax.experimental import pallas as pl
+
+    def kernel(scal_ref, ih_ref, il_ref, sqs_ref, sq4_ref, win_ref,
+               acc_ref, norm_ref):
+        for s in range(S):
+            acc_ref[s] = jnp.zeros((OR, LANES), F32)
+            norm_ref[s] = jnp.zeros((OR, LANES), F32)
+        win4 = win_ref[:]                            # [4,128] hann(512)
+        win16 = jnp.concatenate([win4, jnp.zeros((12, LANES), F32)])
+        consts = _consts()
+
+        nrun_max = scal_ref[0, 1]
+        for s in range(1, S):
+            nrun_max = jnp.maximum(nrun_max, scal_ref[s, 1])
+
+        def load_rolled_s(ref, s, pos):
+            q8 = (pos // 1024) * 8
+            rem = pos - (pos // 1024) * 1024
+            w = ref[s, pl.ds(pl.multiple_of(q8, 8), 16), :]
+            return flat_roll_left(w, rem)
+
+        def body(k, qos):
+            nominal = k * AHOP
+            new_qos = []
+            for s in range(S):
+                run_s = k < scal_ref[s, 1]
+                input_count = scal_ref[s, 0]
+                vh = load_rolled_s(ih_ref, s, nominal)
+                vl = load_rolled_s(il_ref, s, nominal)
+                sqv = load_rolled_s(sqs_ref, s, nominal)
+                sv4 = load_rolled_s(sq4_ref, s, 32 * k)
+                qo, c16 = _frame_step(k, qos[s], input_count,
+                                      vh, vl, sqv, sv4, win4, consts)
+                # Masked lanes must not move the OLA state; qo stays in
+                # [0, 2*MAX_SHIFT] for the carried (live) values, and
+                # the clip only sanitizes dead-lane garbage so the next
+                # step's rolls see a bounded amount.
+                c16 = jnp.where(run_s, c16, F32(0.0))
+                n_add = jnp.where(run_s, win16, F32(0.0))
+                new_qos.append(jnp.where(
+                    run_s, jnp.clip(qo, 0, 2 * MAX_SHIFT), qos[s]))
+
+                pos = k * hop
+                qo8 = (pos // 1024) * 8
+                remo = pos - (pos // 1024) * 1024
+                a = acc_ref[s, pl.ds(pl.multiple_of(qo8, 8), 16), :]
+                a = flat_roll_left(a, remo) + c16
+                acc_ref[s, pl.ds(pl.multiple_of(qo8, 8), 16), :] = \
+                    flat_roll_right(a, remo)
+                n = norm_ref[s, pl.ds(pl.multiple_of(qo8, 8), 16), :]
+                n = flat_roll_left(n, remo) + n_add
+                norm_ref[s, pl.ds(pl.multiple_of(qo8, 8), 16), :] = \
+                    flat_roll_right(n, remo)
+            return tuple(new_qos)
+
+        lax.fori_loop(0, nrun_max, body, (jnp.int32(0),) * S)
+
+    return kernel
+
+
+def batch_group_size(SP: int, S4P: int, out_size: int) -> int:
+    """Sentences per program: bounded by VMEM (pallas double-buffers
+    every block across grid programs, so the working set is ~2x the
+    block bytes), capped at 8."""
+    OR = _roundup(out_size + 2048, 1024) // LANES
+    per = (3 * SP + S4P + 2 * OR * LANES) * 4   # bytes, f32
+    budget = 12 << 20                           # of the 16 MB VMEM
+    return max(1, min(8, budget // (2 * per)))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("hop", "out_size", "S", "interpret"))
+def wsola_frames_batch(inp_h, inp_l, sqs, sq4, input_count, nrun,
+                       *, hop, out_size, S, interpret=False):
+    """wsola_frames for a [B, ...] batch: grid of ceil(B/S) programs,
+    each interleaving S sentences (see _make_batch_kernel). Same input
+    planes as wsola_frames with a leading batch axis; B is padded to a
+    multiple of S with zero rows (nrun=0 ⇒ fully masked). Returns
+    (acc, norm) [B, out_size], bit-identical to a per-sentence map of
+    wsola_frames."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from ctts_tpu.ops.luts import hann
+
+    B, SP = inp_h.shape
+    S4P = sq4.shape[1]
+    assert SP % 1024 == 0 and S4P % 1024 == 0 and sqs.shape[1] == SP
+    OR = _roundup(out_size + 2048, 1024) // LANES
+
+    Bp = -(-B // S) * S
+    if Bp != B:
+        padn = Bp - B
+        inp_h = jnp.concatenate(
+            [inp_h, jnp.zeros((padn, SP), F32)])
+        inp_l = jnp.concatenate(
+            [inp_l, jnp.zeros((padn, SP), F32)])
+        sqs = jnp.concatenate([sqs, jnp.zeros((padn, SP), F32)])
+        sq4 = jnp.concatenate([sq4, jnp.zeros((padn, S4P), F32)])
+        input_count = jnp.concatenate(
+            [input_count, jnp.zeros(padn, input_count.dtype)])
+        nrun = jnp.concatenate([nrun, jnp.zeros(padn, nrun.dtype)])
+
+    kern = _make_batch_kernel(hop, OR, S)
+    smem = functools.partial(pl.BlockSpec, memory_space=pltpu.SMEM)
+    vmem = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
+    scal = jnp.stack(
+        [input_count.astype(jnp.int32), nrun.astype(jnp.int32)], axis=1)
+    win4 = hann(FRAME).reshape(4, LANES)
+    grid = (Bp // S,)
+    acc, norm = pl.pallas_call(
+        kern,
+        grid=grid,
+        out_shape=(jax.ShapeDtypeStruct((Bp, OR, LANES), F32),
+                   jax.ShapeDtypeStruct((Bp, OR, LANES), F32)),
+        in_specs=[smem((S, 2), lambda i: (i, 0)),
+                  vmem((S, SP // LANES, LANES), lambda i: (i, 0, 0)),
+                  vmem((S, SP // LANES, LANES), lambda i: (i, 0, 0)),
+                  vmem((S, SP // LANES, LANES), lambda i: (i, 0, 0)),
+                  vmem((S, S4P // LANES, LANES), lambda i: (i, 0, 0)),
+                  vmem((4, LANES), lambda i: (0, 0))],
+        out_specs=(vmem((S, OR, LANES), lambda i: (i, 0, 0)),
+                   vmem((S, OR, LANES), lambda i: (i, 0, 0))),
+        interpret=interpret,
+    )(scal, inp_h.reshape(Bp, -1, LANES), inp_l.reshape(Bp, -1, LANES),
+      sqs.reshape(Bp, -1, LANES), sq4.reshape(Bp, -1, LANES), win4)
+    return (acc.reshape(Bp, -1)[:B, :out_size],
+            norm.reshape(Bp, -1)[:B, :out_size])
 
 
 @functools.partial(

@@ -99,14 +99,13 @@ def _roundup(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _frames_pallas(inp, input_count, run_all, max_steps, hop, out_size):
-    """Pallas frame chain: build the kernel's input planes (split
-    halves, shifted/stride-4 energy tables — values identical to the
-    XLA path's sq where both read them) and run one program. Returns
-    the (acc, norm) OLA accumulators (the kernel accumulates in the
-    C's frame order)."""
-    from ctts_tpu.ops.pallas.wsola import wsola_frames
+import functools as _functools
 
+
+def _wsola_planes(inp, run_all, max_steps):
+    """Kernel input planes for one sentence: split halves and the
+    shifted/stride-4 energy tables (values identical to the XLA path's
+    sq where both read them), plus the dynamic run count."""
     S = inp.shape[0]
     SP = _roundup(S + 2048, 1024)
     pad2 = jnp.concatenate(
@@ -120,10 +119,59 @@ def _frames_pallas(inp, input_count, run_all, max_steps, hop, out_size):
     S4P = _roundup(max(sq4.shape[0], 32 * max_steps + 2048), 1024)
     sq4p = jnp.zeros(S4P, F32).at[:sq4.shape[0]].set(sq4)
     nrun = jnp.sum(run_all.astype(jnp.int32))
-    return wsola_frames(
-        ih, il, sqs, sq4p, input_count, nrun, hop=hop, out_size=out_size,
-        interpret=os.environ.get("CTTS_PALLAS_INTERPRET") == "1",
+    return ih, il, sqs, sq4p, nrun
+
+
+@_functools.lru_cache(maxsize=None)
+def _frames_fn(hop: int, out_size: int, interpret: bool):
+    """custom_vmap wrapper: unbatched calls run the per-sentence kernel;
+    a vmapped call (the production core is vmapped over the batch)
+    routes to the S-interleaved batch kernel — same bits
+    (tests/test_pallas_wsola.py::test_batch_kernel_parity), ~Sx fewer
+    serialized grid programs (the chain is latency-bound at ~2.5
+    µs/frame and TPU grid programs serialize)."""
+    from jax import custom_batching
+
+    from ctts_tpu.ops.pallas.wsola import (
+        batch_group_size,
+        wsola_frames,
+        wsola_frames_batch,
     )
+
+    @custom_batching.custom_vmap
+    def run(ih, il, sqs, sq4, input_count, nrun):
+        return wsola_frames(
+            ih, il, sqs, sq4, input_count, nrun, hop=hop,
+            out_size=out_size, interpret=interpret)
+
+    @run.def_vmap
+    def run_vmap(axis_size, in_batched, ih, il, sqs, sq4,
+                 input_count, nrun):
+        def bc(x, b):
+            return x if b else jnp.broadcast_to(
+                x, (axis_size,) + jnp.shape(x))
+
+        ih, il, sqs, sq4, input_count, nrun = (
+            bc(v, b) for v, b in zip(
+                (ih, il, sqs, sq4, input_count, nrun), in_batched))
+        S = batch_group_size(ih.shape[1], sq4.shape[1], out_size)
+        acc, norm = wsola_frames_batch(
+            ih, il, sqs, sq4, input_count, nrun, hop=hop,
+            out_size=out_size, S=S, interpret=interpret)
+        return (acc, norm), (True, True)
+
+    return run
+
+
+def _frames_pallas(inp, input_count, run_all, max_steps, hop, out_size):
+    """Pallas frame chain: build the kernel's input planes and run the
+    per-sentence kernel (or, under vmap, the S-interleaved batch
+    kernel — see _frames_fn). Returns the (acc, norm) OLA accumulators
+    (the kernel accumulates in the C's frame order)."""
+    ih, il, sqs, sq4p, nrun = _wsola_planes(inp, run_all, max_steps)
+    return _frames_fn(
+        hop, out_size, os.environ.get("CTTS_PALLAS_INTERPRET") == "1",
+    )(ih, il, sqs, sq4p, input_count, nrun)
 
 
 def synthesis_hop_for_speed(speed: float) -> int:

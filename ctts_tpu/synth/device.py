@@ -116,6 +116,19 @@ def _roundup(x: int, m: int = 128) -> int:
     return -(-x // m) * m
 
 
+# The whole-sentence Pallas kernels (compose/compact/assemble) keep the
+# full [R*WREG] buffer resident in VMEM (input + output copies), so a
+# bucket only qualifies when 2x the buffer fits comfortably under the
+# 16 MB scoped-VMEM limit. The paragraph bucket (R*WREG = 2M f32 = 8 MB)
+# OOMs Mosaic's stack allocator; it takes the bit-identical XLA
+# lowerings instead.
+_PALLAS_SENT_F32_CAP = 1 << 20  # 4 MB buffer -> <=~9 MB resident
+
+
+def _pallas_sent_fits(tot_f32: int) -> bool:
+    return tot_f32 <= _PALLAS_SENT_F32_CAP
+
+
 def _next_pow2(x: int, lo: int) -> int:
     n = lo
     while n < x:
@@ -1070,6 +1083,8 @@ def build_core(dims: PlanDims, ubuf: int, stage: str = "full"):
             fallback lowering."""
             if _compose_backend() == "pallas" and CFMAX % 1024 == 0 \
                     and (dims.R * dims.WREG) % 1024 == 0 \
+                    and _pallas_sent_fits(dims.R * dims.WREG
+                                          + dims.U * ubuf) \
                     and MARGIN >= 2 * CFMAX:
                 return compose_pallas(contrib, fo, export_windows)
             iu = jnp.arange(ubuf)
@@ -1236,7 +1251,8 @@ def build_core(dims: PlanDims, ubuf: int, stage: str = "full"):
         # program (aligned-slice + roll, see ops/pallas/compact.py); the
         # vmapped while_loop of batch-varying window moves remains the
         # CPU/fallback lowering.
-        if _compose_backend() == "pallas" and dims.WREG % 1024 == 0:
+        if _compose_backend() == "pallas" and dims.WREG % 1024 == 0 \
+                and _pallas_sent_fits(dims.R * dims.WREG):
             from ctts_tpu.ops.pallas.compact import compact_units
 
             bufs = compact_units(
@@ -1389,16 +1405,47 @@ def build_core(dims: PlanDims, ubuf: int, stage: str = "full"):
 
         # Merge back under the same (i < count) & active & good mask.
         icw = jnp.arange(dims.CONTW)
-        for r in range(dims.R):
-            off = zone_off[r] * 128
-            val_w = lax.dynamic_slice(valb, (off,), (dims.CONTW,))
-            norm_w = lax.dynamic_slice(normb, (off,), (dims.CONTW,))
-            old = lax.slice(bufs, (r, MARGIN),
-                            (r + 1, MARGIN + dims.CONTW))[0]
-            m = (icw < cnt_r[r]) & act_r[r] & (norm_w > F32(0.01))
+        if dims.CONTW % 128 == 0:
+            # The zone reads are 128-row aligned, valb is q16-quantized
+            # (int16-valued -> hi/lo halves are bf16-exact) and normb is
+            # only consumed as a 0/1 threshold mask — so the R dynamic
+            # slices become exact one-hot ROW-pick matmuls on the MXU
+            # (the loop of dynamic slice/update pairs ran at ~4 GB/s
+            # effective: 15 ms/batch of the contour stage).
+            from ctts_tpu.ops.exact import split_hi_lo as _shl
+
+            rows_per = dims.CONTW // 128
+            s_rows = valb.shape[0] // 128
+            vh_r, vl_r = _shl(valb)
+            vh_r = vh_r.reshape(s_rows, 128)
+            vl_r = vl_r.reshape(s_rows, 128)
+            good_r = (normb > F32(0.01)).astype(F32).reshape(s_rows, 128)
+            tgt = (zone_off[:, None]
+                   + jnp.arange(rows_per)[None, :]).reshape(-1)
+            sel = (tgt[:, None] == jnp.arange(s_rows)[None, :]
+                   ).astype(F32)                    # [R*rows_per, s_rows]
+            val_w = (F32(256.0) * (sel @ vh_r) + sel @ vl_r
+                     ).reshape(dims.R, dims.CONTW)
+            good_w = (sel @ good_r).reshape(dims.R, dims.CONTW) > F32(0.5)
+            old = lax.slice(bufs, (0, MARGIN),
+                            (dims.R, MARGIN + dims.CONTW))
+            m = ((icw[None, :] < cnt_r[:, None]) & act_r[:, None]
+                 & good_w)
             merged = jnp.where(m, val_w, old)
-            bufs = lax.dynamic_update_slice(bufs, merged[None],
-                                            (r, MARGIN))
+            bufs = jnp.concatenate(
+                [bufs[:, :MARGIN], merged, bufs[:, MARGIN + dims.CONTW:]],
+                axis=1)
+        else:
+            for r in range(dims.R):
+                off = zone_off[r] * 128
+                val_w = lax.dynamic_slice(valb, (off,), (dims.CONTW,))
+                norm_w = lax.dynamic_slice(normb, (off,), (dims.CONTW,))
+                old = lax.slice(bufs, (r, MARGIN),
+                                (r + 1, MARGIN + dims.CONTW))[0]
+                m = (icw < cnt_r[r]) & act_r[r] & (norm_w > F32(0.01))
+                merged = jnp.where(m, val_w, old)
+                bufs = lax.dynamic_update_slice(bufs, merged[None],
+                                                (r, MARGIN))
 
         if stage == "contour_merge":  # zone merge-back
             return _ck(bufs)
@@ -1474,7 +1521,8 @@ def build_core(dims: PlanDims, ubuf: int, stage: str = "full"):
         )
         total_len = jnp.sum(seg_lens)
 
-        if _compose_backend() == "pallas" and dims.WREG % 1024 == 0:
+        if _compose_backend() == "pallas" and dims.WREG % 1024 == 0 \
+                and _pallas_sent_fits(dims.R * dims.WREG):
             # One kernel program per sentence: each region add is an
             # aligned-slice + roll read-modify-write in VMEM instead of
             # a batch-varying dynamic slice/update pair (~11 ms/batch).

@@ -185,6 +185,38 @@ def test_pitch_shift_blend_fuzz():
         assert np.array_equal(ref, got), (trial, sr, f)
 
 
+def test_first_nblk_extract_equal(monkeypatch):
+    """The hierarchical first-NBLK flag extraction (the TPU lowering —
+    CPU defaults to top_k because the reshape+cumsum pattern segfaults
+    XLA:CPU inside the large vmapped core) must be bit-equal to the
+    top_k variant and to a direct NumPy reference, including the
+    missing-segment W padding, non-multiple-of-128 widths, and the
+    dense >NBLK overflow case."""
+    import jax
+    import jax.numpy as jnp
+
+    from ctts_tpu.ops import device_ops as dops
+
+    rng = np.random.default_rng(11)
+    for W in (128, 300, 4096, 29696):
+        for density in (0.0, 0.001, 0.01, 0.3):
+            flags = rng.random(W) < density
+            i = np.arange(W)
+            want = np.full(dops.NBLK, W, np.int64)
+            idxs = np.nonzero(flags)[0][: dops.NBLK]
+            want[: len(idxs)] = idxs
+            outs = {}
+            for mode in ("hier", "topk"):
+                monkeypatch.setenv("CTTS_SEG_EXTRACT", mode)
+                outs[mode] = np.asarray(jax.jit(
+                    lambda f: dops._first_nblk_flagged(
+                        f, jnp.arange(W), W)
+                )(jnp.asarray(flags)))
+                jax.clear_caches()  # backend read at trace time
+            assert np.array_equal(outs["hier"], want), (W, density)
+            assert np.array_equal(outs["topk"], want), (W, density)
+
+
 def test_silence_segments_fuzz_vs_oracle():
     """The cumsum-window run predicates (no associative scans) must
     reproduce the oracle's remove_silence_regions exactly — segment

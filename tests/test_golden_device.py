@@ -44,8 +44,22 @@ def test_golden_120_corpus_device(ref_build, voice_db, tmp_path):
     # compile each — hours on this 1-core host); the floor collapses
     # every non-stretch sentence into one bucket and each speed-sweep
     # point into its own (static synthesis hop ⇒ per-speed buckets).
-    floor = {"U": 64, "R": 32, "FD": 8, "WREG": 65536, "SMAX": 262144,
-             "CONTW": 32768, "WIN": 8192, "CFMAX": 4096}
+    import os as _os
+    if _os.environ.get("CTTS_TEST_TPU") == "1":
+        # On the real TPU keep R*WREG at the Pallas whole-sentence VMEM
+        # cap (device._pallas_sent_fits) so the run exercises the
+        # production Mosaic lowerings (compact/assemble kernels,
+        # 64-grain contour, hierarchical cumsum, WSOLA chain) instead
+        # of silently falling back to XLA: R=16 instead of 32 — only a
+        # single >16-region utterance splits into its own XLA bucket
+        # (10 buckets total, 150/151 rows Pallas-eligible).
+        floor = {"U": 64, "R": 16, "FD": 8, "WREG": 65536,
+                 "SMAX": 262144, "CONTW": 32768, "WIN": 8192,
+                 "CFMAX": 4096}
+    else:
+        floor = {"U": 64, "R": 32, "FD": 8, "WREG": 65536,
+                 "SMAX": 262144, "CONTW": 32768, "WIN": 8192,
+                 "CFMAX": 4096}
     bs = BatchSynthesizer(db, config, rules=rules, dims_floor=floor)
 
     # Group utterances by CLI-clamped speed; one batched dispatch each.

@@ -66,3 +66,58 @@ def test_pallas_matches_scan(monkeypatch, kind, count, speed):
 
     assert outs["xla"][1] == outs["pallas"][1]
     assert np.array_equal(outs["xla"][0], outs["pallas"][0])
+
+
+def test_batch_kernel_parity(monkeypatch):
+    """The S-interleaved batch kernel (production lowering under vmap)
+    must match per-sentence wsola_frames bit-for-bit, including ragged
+    per-sentence run counts (masked tail frames), an all-masked padding
+    row (nrun = 0), and the B % S != 0 padding path."""
+    import jax
+
+    from ctts_tpu.ops.pallas.wsola import wsola_frames, wsola_frames_batch
+    from ctts_tpu.ops.wsola_jax import AHOP, _wsola_planes
+
+    monkeypatch.setenv("CTTS_PALLAS_INTERPRET", "1")
+
+    speed = 1.5
+    hop = synthesis_hop_for_speed(speed)
+    out_size = 2 * S + 2048
+    max_steps = min((S - FRAME) // AHOP + 2, (out_size - FRAME) // hop + 1)
+
+    rng = np.random.default_rng(23)
+    counts = [3000, 4096, 400, 1800, 0]          # ragged; one empty
+    kinds = ["tonal", "noise", "tonal", "periodic", "tonal"]
+    planes = []
+    for count, kind in zip(counts, kinds):
+        buf = np.zeros(S, np.float32)
+        if count:
+            buf[:count] = _signal(rng, count, kind)
+        inp = jnp.asarray(buf)
+        ks = np.arange(max_steps)
+        alloc_frames = max(count - FRAME, 0) // AHOP + 1 if count > FRAME \
+            else (1 if count else 0)
+        alloc = alloc_frames * hop + FRAME + 1024
+        run_all = jnp.asarray(
+            (ks * AHOP + FRAME <= count) & (ks * hop + FRAME <= alloc)
+            & (ks * hop + FRAME <= out_size))
+        planes.append(_wsola_planes(inp, run_all, max_steps)
+                      + (jnp.int32(count),))
+
+    refs = [
+        wsola_frames(ih, il, sqs, sq4, cnt, nrun, hop=hop,
+                     out_size=out_size, interpret=True)
+        for ih, il, sqs, sq4, nrun, cnt in planes
+    ]
+    stack = [jnp.stack([p[i] for p in planes]) for i in range(4)]
+    nruns = jnp.stack([p[4] for p in planes])
+    cnts = jnp.stack([p[5] for p in planes])
+    for Sgrp in (2, 5):  # 5 rows: S=2 exercises padding, S=5 one program
+        acc_b, norm_b = wsola_frames_batch(
+            stack[0], stack[1], stack[2], stack[3], cnts, nruns,
+            hop=hop, out_size=out_size, S=Sgrp, interpret=True)
+        for i, (acc_r, norm_r) in enumerate(refs):
+            assert np.array_equal(np.asarray(acc_b[i]),
+                                  np.asarray(acc_r)), (Sgrp, i)
+            assert np.array_equal(np.asarray(norm_b[i]),
+                                  np.asarray(norm_r)), (Sgrp, i)

@@ -354,14 +354,21 @@ def pitch_shift_blend(
     li = idx.reshape(nblk, 128) - base[:, None]        # block-local idx
     d = li - jnp.arange(128)[None, :]
     winp = jnp.concatenate([jnp.zeros((nblk, -DLO), F32), win], axis=1)
-    a = jnp.zeros((nblk, 128), F32)
-    b = jnp.zeros((nblk, 128), F32)
+    # Each element is hit by EXACTLY ONE delta (d is a function of the
+    # indices), so the pick is a fusable SUM of masked shifted views —
+    # a chain of dependent where-RMW passes cannot fuse (the same
+    # anti-pattern cost shifted_select_resample 55 ms). No-hit lanes
+    # (do_shift false) stay 0 either way.
+    a = b = None
     for delta in range(DLO, DHI + 1):
         s = delta - DLO
         hit = d == delta
-        a = jnp.where(hit, lax.slice(winp, (0, s), (nblk, s + 128)), a)
-        b = jnp.where(hit, lax.slice(winp, (0, s + 1), (nblk, s + 129)),
-                      b)
+        pa = jnp.where(hit, lax.slice(winp, (0, s), (nblk, s + 128)),
+                       F32(0.0))
+        pb = jnp.where(hit, lax.slice(winp, (0, s + 1), (nblk, s + 129)),
+                       F32(0.0))
+        a = pa if a is None else a + pa
+        b = pb if b is None else b + pb
     a = a.reshape(H)
     b = b.reshape(H)
     lerp = a * (F32(1.0) - frac) + b * frac

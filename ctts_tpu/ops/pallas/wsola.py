@@ -89,18 +89,27 @@ def _consts():
 def _circulant(th3, stride, steps):
     """[128, 128] Cᵀ with row 32r+b = th_r lane-rotated right by
     stride·b, for b < 2^steps (other rows zero). The lane rotation
-    is mod 128 — exactly the circulant index (w - stride·b)."""
+    is mod 128 — exactly the circulant index (w - stride·b).
+
+    Each 32-row block is built NARROW ([2^steps, 128] roll-doubling,
+    then zero-padded): the doubling never wraps (occupied rows b < 2^i
+    move to b + 2^i < 2^(i+1) ≤ block height), so the result is
+    bit-identical to doubling inside the full [128, 128] — at ~13x
+    less roll traffic, which dominated the ~2.5 µs/frame cost."""
     from jax.experimental.pallas import tpu as pltpu
 
-    z31 = jnp.zeros((31, LANES), F32)
-    t = jnp.concatenate([
-        th3[0:1], z31, th3[1:2], z31, th3[2:3], z31,
-        jnp.zeros((32, LANES), F32),
-    ])                                           # rows 0/32/64 = th_r
-    for i in range(steps):
-        m = 1 << i
-        t = t + pltpu.roll(pltpu.roll(t, m, 0), stride * m, 1)
-    return t
+    nb = 1 << steps
+    blocks = []
+    for r in range(3):
+        t = jnp.concatenate(
+            [th3[r:r + 1], jnp.zeros((nb - 1, LANES), F32)])
+        for i in range(steps):
+            m = 1 << i
+            t = t + pltpu.roll(pltpu.roll(t, m, 0), stride * m, 1)
+        if nb < 32:
+            t = jnp.concatenate([t, jnp.zeros((32 - nb, LANES), F32)])
+        blocks.append(t)
+    return jnp.concatenate(blocks + [jnp.zeros((32, LANES), F32)])
 
 
 _BIG = 1 << 30
@@ -117,18 +126,30 @@ def _gsum(f):
 
 def _corr_at(Rah, Ral, Rbh, Rbl, cth, ctl, up, sq1, sq2):
     """Exact correlation at the lags encoded by (cth, ctl, up);
-    same op order as the XLA step ⇒ bit-identical corr."""
+    same op order as the XLA step ⇒ bit-identical corr.
+
+    The hi and lo window planes are STACKED along the row dim so each
+    masked circulant needs ONE dot instead of two (4 MXU issues per
+    search instead of 8). Every component sum is the same exact
+    integer (≤ 2^24, exact in f32 in any grouping), so the regrouped
+    adds are bit-identical."""
     lo = F32(1.0) - up
     cu_h, cl_h = cth * up, cth * lo
     cu_l, cl_l = ctl * up, ctl * lo
+    Ra = jnp.concatenate([Rah, Ral])             # [16, 128]
+    Rb = jnp.concatenate([Rbh, Rbl])
 
     def dotT(r, c):
         return lax.dot_general(r, c, _DN, preferred_element_type=F32)
 
-    hh = _gsum(dotT(Rah, cu_h) + dotT(Rbh, cl_h))
-    mid = _gsum(dotT(Rah, cu_l) + dotT(Rbh, cl_l)
-                + dotT(Ral, cu_h) + dotT(Rbl, cl_h))
-    ll = _gsum(dotT(Ral, cu_l) + dotT(Rbl, cl_l))
+    d_cu_h = dotT(Ra, cu_h)                      # [:8] hi·cu_h, [8:] lo
+    d_cl_h = dotT(Rb, cl_h)
+    d_cu_l = dotT(Ra, cu_l)
+    d_cl_l = dotT(Rb, cl_l)
+    hh = _gsum(d_cu_h[:8] + d_cl_h[:8])
+    mid = _gsum(d_cu_l[:8] + d_cl_l[:8]
+                + d_cu_h[8:] + d_cl_h[8:])
+    ll = _gsum(d_cu_l[8:] + d_cl_l[8:])
     # combine_exact inline (ops/exact.py).
     a = F32(65536.0) * hh
     b = F32(256.0) * mid
@@ -306,9 +327,9 @@ def _make_batch_kernel(hop, OR, S):
         win16 = jnp.concatenate([win4, jnp.zeros((12, LANES), F32)])
         consts = _consts()
 
-        nrun_max = scal_ref[0, 1]
+        nrun_max = scal_ref[0, 0, 1]
         for s in range(1, S):
-            nrun_max = jnp.maximum(nrun_max, scal_ref[s, 1])
+            nrun_max = jnp.maximum(nrun_max, scal_ref[0, s, 1])
 
         def load_rolled_s(ref, s, pos):
             q8 = (pos // 1024) * 8
@@ -320,8 +341,8 @@ def _make_batch_kernel(hop, OR, S):
             nominal = k * AHOP
             new_qos = []
             for s in range(S):
-                run_s = k < scal_ref[s, 1]
-                input_count = scal_ref[s, 0]
+                run_s = k < scal_ref[0, s, 1]
+                input_count = scal_ref[0, s, 0]
                 vh = load_rolled_s(ih_ref, s, nominal)
                 vl = load_rolled_s(il_ref, s, nominal)
                 sqv = load_rolled_s(sqs_ref, s, nominal)
@@ -402,7 +423,8 @@ def wsola_frames_batch(inp_h, inp_l, sqs, sq4, input_count, nrun,
     smem = functools.partial(pl.BlockSpec, memory_space=pltpu.SMEM)
     vmem = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
     scal = jnp.stack(
-        [input_count.astype(jnp.int32), nrun.astype(jnp.int32)], axis=1)
+        [input_count.astype(jnp.int32), nrun.astype(jnp.int32)], axis=1,
+    ).reshape(Bp // S, S, 2)
     win4 = hann(FRAME).reshape(4, LANES)
     grid = (Bp // S,)
     acc, norm = pl.pallas_call(
@@ -410,7 +432,7 @@ def wsola_frames_batch(inp_h, inp_l, sqs, sq4, input_count, nrun,
         grid=grid,
         out_shape=(jax.ShapeDtypeStruct((Bp, OR, LANES), F32),
                    jax.ShapeDtypeStruct((Bp, OR, LANES), F32)),
-        in_specs=[smem((S, 2), lambda i: (i, 0)),
+        in_specs=[smem((1, S, 2), lambda i: (i, 0, 0)),
                   vmem((S, SP // LANES, LANES), lambda i: (i, 0, 0)),
                   vmem((S, SP // LANES, LANES), lambda i: (i, 0, 0)),
                   vmem((S, SP // LANES, LANES), lambda i: (i, 0, 0)),

@@ -118,13 +118,27 @@ def _no_persistent_cache():
     Serializing the large mesh (shard_map) synthesis executable on the
     CPU backend aborts inside XLA (put_executable_and_time — a CHECK,
     not an exception; trivial shard_map programs serialize fine), so
-    mesh-core compiles must not be persisted."""
+    mesh-core compiles must not be persisted.
+
+    Clearing jax_compilation_cache_dir is NOT enough on its own: jax
+    memoizes both the cache object (compilation_cache._cache) and the
+    is_cache_used decision at first use, so once any compile in the
+    process has touched the cache, later compiles still reach
+    executable.serialize() — the crash point. The min-compile-time
+    threshold IS read live in _cache_write before serialization, so
+    raising it is the reliable kill switch; the dir clear still covers
+    the wraps-the-first-compile case."""
     prev = jax.config.jax_compilation_cache_dir
+    prev_min = jax.config.jax_persistent_cache_min_compile_time_secs
     try:
         jax.config.update("jax_compilation_cache_dir", None)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          1e18)
         yield
     finally:
         jax.config.update("jax_compilation_cache_dir", prev)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          prev_min)
 
 
 def release_compiled() -> None:

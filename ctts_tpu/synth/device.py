@@ -998,6 +998,13 @@ def build_core(dims: PlanDims, ubuf: int, stage: str = "full"):
             bank_lens[jnp.maximum(ar["unit_id"], 0)], 0
         ).astype(jnp.int32)
 
+        if stage == "noop":
+            # Pure dispatch+sync floor (input-dependent so nothing
+            # constant-folds): the tunnel round-trip is ~25 ms and is
+            # included in EVERY absolute stage time — the first real
+            # stage's delta is mostly this, not compute.
+            return _ck(ar["_unit_n"])
+
         base, fo, fi = prepare_base(bank, bank_lens, gains, ar)
 
         # Boundary-shift candidate machinery: the pitch searches and the

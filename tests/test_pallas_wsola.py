@@ -112,10 +112,16 @@ def test_batch_kernel_parity(monkeypatch):
     stack = [jnp.stack([p[i] for p in planes]) for i in range(4)]
     nruns = jnp.stack([p[4] for p in planes])
     cnts = jnp.stack([p[5] for p in planes])
+    from ctts_tpu.parallel.batch import _no_persistent_cache
+
     for Sgrp in (2, 5):  # 5 rows: S=2 exercises padding, S=5 one program
-        acc_b, norm_b = wsola_frames_batch(
-            stack[0], stack[1], stack[2], stack[3], cnts, nruns,
-            hop=hop, out_size=out_size, S=Sgrp, interpret=True)
+        with _no_persistent_cache():
+            # Serializing the interpret-mode batch-kernel executable
+            # segfaults XLA:CPU's cache writer (put_executable_and_time
+            # — same CHECK as the mesh cores, parallel/batch.py:115).
+            acc_b, norm_b = wsola_frames_batch(
+                stack[0], stack[1], stack[2], stack[3], cnts, nruns,
+                hop=hop, out_size=out_size, S=Sgrp, interpret=True)
         for i, (acc_r, norm_r) in enumerate(refs):
             assert np.array_equal(np.asarray(acc_b[i]),
                                   np.asarray(acc_r)), (Sgrp, i)

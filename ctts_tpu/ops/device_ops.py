@@ -22,6 +22,7 @@ from jax import lax
 
 from ctts_tpu.constants import SAMPLE_RATE
 from ctts_tpu.ops.luts import hann, sine_fade_gain
+from ctts_tpu.ops.exact import div_rn, sqrt_rn
 from ctts_tpu.ops.quant import q16, trunc16, wrap16
 
 F32 = jnp.float32
@@ -202,8 +203,12 @@ def estimate_pitch_batch(segs: jnp.ndarray, counts: jnp.ndarray,
     corr = corr_all[:, PITCH_MIN_LAG:]
     e2 = e2_all[:, PITCH_MIN_LAG:]
 
-    norm = jnp.sqrt(e1[:, None] * e2)
-    corr = jnp.where(norm > 0, corr / norm, corr)
+    # Correctly rounded norm/divisions (exact.div_rn docstring): the
+    # normalized-corr argmax and the 0.3 voiced threshold are C-parity
+    # decisions, and the fractional pitch feeds the jump-ratio test.
+    norm = sqrt_rn(e1[:, None] * e2)
+    corr = jnp.where(norm > 0, div_rn(corr, jnp.where(norm > 0, norm,
+                                                      F32(1.0))), corr)
     corr = jnp.where(lags[None, :] <= max_lag[:, None], corr,
                      F32(-jnp.inf))
 
@@ -211,7 +216,7 @@ def estimate_pitch_batch(segs: jnp.ndarray, counts: jnp.ndarray,
     best_corr = jnp.take_along_axis(corr, best[:, None], axis=1)[:, 0]
     best_lag = lags[best].astype(F32)
     pitch = jnp.where(best_corr > F32(0.3),
-                      F32(SAMPLE_RATE) / best_lag, F32(0.0))
+                      div_rn(F32(SAMPLE_RATE), best_lag), F32(0.0))
     usable = ((counts >= 200) & (analysis_len > 0)
               & (max_lag >= PITCH_MIN_LAG))
     return jnp.where(usable, pitch, F32(0.0))
@@ -271,13 +276,15 @@ def _pitch_from_segment(seg: jnp.ndarray, count: jnp.ndarray) -> jnp.ndarray:
     corr = corr_all[PITCH_MIN_LAG:]
     e2 = e2_all[PITCH_MIN_LAG:]
 
-    norm = jnp.sqrt(e1 * e2)
-    corr = jnp.where(norm > 0, corr / norm, corr)
+    norm = sqrt_rn(e1 * e2)
+    corr = jnp.where(norm > 0, div_rn(corr, jnp.where(norm > 0, norm,
+                                                      F32(1.0))), corr)
     corr = jnp.where(lags <= max_lag, corr, F32(-jnp.inf))
 
     best = jnp.argmax(corr)
     pitch = jnp.where(corr[best] > F32(0.3),
-                      F32(SAMPLE_RATE) / lags[best].astype(F32), F32(0.0))
+                      div_rn(F32(SAMPLE_RATE), lags[best].astype(F32)),
+                      F32(0.0))
     usable = (count >= 200) & (analysis_len > 0) & (max_lag >= PITCH_MIN_LAG)
     return jnp.where(usable, pitch, F32(0.0))
 
@@ -315,7 +322,11 @@ def pitch_shift_blend(
     # samples.
     do_shift = (factor >= F32(0.9)) & (factor <= F32(1.1)) & (shift_region >= 100)
 
-    new_count = (shift_region.astype(F32) / factor).astype(jnp.int32)
+    # div_rn: new_count truncates the quotient — a 1-ULP TPU division
+    # error at an integer boundary changes the copied length.
+    new_count = div_rn(shift_region.astype(F32),
+                       jnp.where(do_shift, factor, F32(1.0))
+                       ).astype(jnp.int32)
     src_pos = i.astype(F32) * factor
     idx = src_pos.astype(jnp.int32)
     frac = src_pos - idx.astype(F32)
@@ -382,7 +393,8 @@ def pitch_shift_blend(
     shifted = jnp.where(do_shift, shifted, head)
 
     # blend: region*(1-t) + original*t over shift_region (ctts.c:2016-2019)
-    t = i.astype(F32) / shift_region.astype(F32)
+    t = div_rn(i.astype(F32),
+               jnp.where(shift_region > 0, shift_region, 1).astype(F32))
     blended = trunc16(shifted * (F32(1.0) - t) + head * t)
     return jnp.where(i < shift_region, blended, head)
 
@@ -393,7 +405,7 @@ def masked_rms(x: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
     i = jnp.arange(x.shape[0])
     m = (i < n).astype(F32)
     ss = jnp.sum(x * x * m)
-    return jnp.sqrt(ss / jnp.maximum(n, 1).astype(F32))
+    return sqrt_rn(div_rn(ss, jnp.maximum(n, 1).astype(F32)))
 
 
 # Max kept segments per region for silence compaction. Segments appear at
@@ -710,7 +722,7 @@ def _contour0(content: jnp.ndarray, count: jnp.ndarray,
     acc = wrap16(acc)  # int16 accumulator wraps in C
 
     good = norm > F32(0.01)
-    val = q16(acc / jnp.where(good, norm, F32(1.0)))
+    val = q16(div_rn(acc, jnp.where(good, norm, F32(1.0))))
     ii = jnp.arange(W)
     in_seg = (ii < count) & active
     return jnp.where(in_seg & good, val, content)

@@ -72,6 +72,56 @@ def exact_dot_components(xh, xl, yh, yl, contract):
     return combine_exact(hh, mid, ll, 256.0)
 
 
+def two_prod(a: jnp.ndarray, b: jnp.ndarray):
+    """Dekker two-product without FMA: p = fl(a*b), e the exact error
+    (a*b = p + e). Veltkamp 12-bit splitting; valid away from overflow
+    (|a*b| < ~2^126) and denormal underflow — the parity chains here
+    stay in [2^-60, 2^50]."""
+    SPLIT = F32(4097.0)  # 2^12 + 1
+    ca = SPLIT * a
+    ah = ca - (ca - a)
+    al = a - ah
+    cb = SPLIT * b
+    bh = cb - (cb - b)
+    bl = b - bh
+    p = a * b
+    e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+    return p, e
+
+
+def div_rn(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Correctly rounded f32 division a/b on ANY backend.
+
+    XLA:TPU lowers f32 division to a reciprocal approximation plus
+    refinement that is ~1 ULP off IEEE round-to-nearest on ~25% of
+    values (measured) — while the C reference, NumPy oracle, and
+    XLA:CPU divide correctly rounded. A 1-ULP flip at a decision
+    threshold (pitch jump ratio at exactly 0.85, floor() of a resample
+    position) diverges the waveform structurally (the golden-TPU
+    96_decl_very_long failure). Markstein recovery: one Newton step
+    with an EXACT residual (two_prod) makes the hardware quotient
+    correctly rounded. b must be nonzero (callers guard)."""
+    a = jnp.asarray(a, F32)
+    b = jnp.asarray(b, F32)
+    q0 = a / b
+    p, e = two_prod(q0, b)
+    # p ≈ a within 2 ULP ⇒ a - p exact (Sterbenz); e is tiny.
+    r = (a - p) - e
+    return q0 + r / b
+
+
+def sqrt_rn(x: jnp.ndarray) -> jnp.ndarray:
+    """Correctly rounded f32 sqrt on ANY backend (XLA:TPU's sqrt is
+    ~1 ULP off on ~40% of values — measured; same recovery scheme as
+    div_rn). Negative inputs propagate the hardware NaN."""
+    x = jnp.asarray(x, F32)
+    s0 = jnp.sqrt(x)
+    p, e = two_prod(s0, s0)
+    r = (x - p) - e
+    s = s0 + r / (s0 + s0)
+    return jnp.where(x > 0, s, s0)
+
+
 def exact_sumsq_components(xh, xl, contract):
     """Correctly rounded f32 of the exact Σ x², given split halves and a
     `contract(a, b)` sum-of-products. x² = 65536·xh² + 512·xh·xl + xl²."""

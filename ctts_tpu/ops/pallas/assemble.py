@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from ctts_tpu.ops.pallas import vmem_params
 from ctts_tpu.ops.pallas.compose import flat_roll_left, flat_roll_right
 
 F32 = jnp.float32
@@ -95,6 +96,7 @@ def assemble_regions(bufs_flat, offsets, live_len,
                   vmem((R * WREG // LANES, LANES))],
         out_specs=vmem((OUT_ROWS, LANES)),
         interpret=interpret,
+        compiler_params=vmem_params(interpret),
     )(offsets.reshape(1, -1).astype(jnp.int32),
       live_len.reshape(1, -1).astype(jnp.int32),
       bufs_flat.reshape(-1, LANES))

@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from ctts_tpu.ops.pallas import vmem_params
 from ctts_tpu.ops.pallas.compose import flat_roll_left, flat_roll_right
 
 F32 = jnp.float32
@@ -119,6 +120,7 @@ def compact_units(bufs_flat, starts, dst, seg_len,
                   vmem((TOT // LANES, LANES))],
         out_specs=vmem((TOT_ROWS, LANES)),
         interpret=interpret,
+        compiler_params=vmem_params(interpret),
     )(starts.reshape(1, -1).astype(jnp.int32),
       dst.reshape(1, -1).astype(jnp.int32),
       seg_len.reshape(1, -1).astype(jnp.int32),

@@ -44,6 +44,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from ctts_tpu.ops.pallas import vmem_params
+
 F32 = jnp.float32
 LANES = 128
 SEGW = 512          # exported pitch-segment width (_PITCH_SPAN=495 pad)
@@ -187,6 +189,7 @@ def compose_units(base_off, cf_in, n_eff, ana, contrib, fo,
                    vmem((U, SEG_ROWS, LANES)),
                    vmem((U, TAIL_ROWS, LANES))),
         interpret=interpret,
+        compiler_params=vmem_params(interpret),
     )(base_off[None, :], cf_in[None, :], n_eff[None, :], ana[None, :],
       contrib.reshape(U, UBUF // LANES, LANES),
       fo.reshape(U, CFMAX // LANES, LANES))

@@ -33,6 +33,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from ctts_tpu.ops.pallas import vmem_params
+
 F32 = jnp.float32
 
 NLAG_PAD = 384   # lags 0..275, padded to 3*128 lanes
@@ -130,5 +132,6 @@ def pitch_corr_components(seg, bh, bl, mask, interpret=False):
         in_specs=bspec_in,
         out_specs=(ospec,) * 6,
         interpret=interpret,
+        compiler_params=vmem_params(interpret),
     )(seg, bh, bl, mask)
     return tuple(o[:n] for o in outs)

@@ -49,6 +49,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from ctts_tpu.ops.pallas import vmem_params
 from ctts_tpu.ops.pallas.compose import flat_roll_left, flat_roll_right
 
 F32 = jnp.float32
@@ -441,6 +442,7 @@ def wsola_frames_batch(inp_h, inp_l, sqs, sq4, input_count, nrun,
         out_specs=(vmem((S, OR, LANES), lambda i: (i, 0, 0)),
                    vmem((S, OR, LANES), lambda i: (i, 0, 0))),
         interpret=interpret,
+        compiler_params=vmem_params(interpret),
     )(scal, inp_h.reshape(Bp, -1, LANES), inp_l.reshape(Bp, -1, LANES),
       sqs.reshape(Bp, -1, LANES), sq4.reshape(Bp, -1, LANES), win4)
     return (acc.reshape(Bp, -1)[:B, :out_size],
@@ -489,6 +491,7 @@ def wsola_frames(inp_h, inp_l, sqs, sq4, input_count, nrun,
                   vmem((4, LANES))],
         out_specs=(vmem((OR, LANES)), vmem((OR, LANES))),
         interpret=interpret,
+        compiler_params=vmem_params(interpret),
     )(scal, inp_h.reshape(-1, LANES), inp_l.reshape(-1, LANES),
       sqs.reshape(-1, LANES), sq4.reshape(-1, LANES), win4)
     return acc.reshape(-1)[:out_size], norm.reshape(-1)[:out_size]

@@ -117,12 +117,15 @@ def _roundup(x: int, m: int = 128) -> int:
 
 
 # The whole-sentence Pallas kernels (compose/compact/assemble) keep the
-# full [R*WREG] buffer resident in VMEM (input + output copies), so a
-# bucket only qualifies when 2x the buffer fits comfortably under the
-# 16 MB scoped-VMEM limit. The paragraph bucket (R*WREG = 2M f32 = 8 MB)
-# OOMs Mosaic's stack allocator; it takes the bit-identical XLA
-# lowerings instead.
-_PALLAS_SENT_F32_CAP = 1 << 20  # 4 MB buffer -> <=~9 MB resident
+# full [R*WREG] buffer resident in VMEM (~2x the buffer: input + output
+# + apron, double-buffered). They request a 100 MB scoped-VMEM budget
+# (ops/pallas/__init__.py vmem_params — v5e cores have 128 MB); buckets
+# past the cap below (~30 MB resident, leaving Mosaic scratch headroom)
+# take the bit-identical XLA lowerings instead. This covers both the
+# acceptance floor (R=16*WREG=65536 + U*ubuf ~ 2.8M f32) and the
+# paragraph bucket (R*WREG = 2M f32), which the old 16 MB default
+# rejected.
+_PALLAS_SENT_F32_CAP = 3 << 20  # 12 MB buffer -> <=~30 MB resident
 
 
 def _pallas_sent_fits(tot_f32: int) -> bool:
@@ -642,6 +645,12 @@ def build_core(dims: PlanDims, ubuf: int, stage: str = "full"):
     production pipeline."""
 
     def _ck(x):
+        if os.environ.get("CTTS_STAGE_RAW") == "1":
+            # Debug lowering: return the stage's full intermediate so a
+            # harness can diff backends (tools/stage_diff.py). The
+            # default is a checksum — cross-backend UNSTABLE (f32 sum
+            # order), only meaningful as a same-backend timing anchor.
+            return x.astype(F32), jnp.int32(0)
         return jnp.sum(x.astype(F32)).astype(F32), jnp.int32(0)
 
     MARGIN, WIN, CFMAX = dims.MARGIN, dims.WIN, dims.CFMAX
@@ -675,14 +684,17 @@ def build_core(dims: PlanDims, ubuf: int, stage: str = "full"):
             prev_pitch = dops.estimate_pitch_win(win, analysis)
             next_pitch = ar["_next_pitch"][k]
             voiced = (prev_pitch > 0) & (next_pitch > 0)
-            ratio = next_pitch / jnp.where(prev_pitch > 0, prev_pitch, F32(1.0))
+            ratio = dops.div_rn(
+                next_pitch, jnp.where(prev_pitch > 0, prev_pitch,
+                                      F32(1.0)))
             jump = (ratio > F32(1.15)) | (ratio < F32(0.85))
             target = jnp.where(
                 ratio > F32(1.0),
                 F32(1.0) + (ratio - F32(1.0)) * F32(0.5),
                 F32(1.0) - (F32(1.0) - ratio) * F32(0.5),
             )
-            shift_factor = target / jnp.where(ratio != 0, ratio, F32(1.0))
+            shift_factor = dops.div_rn(
+                target, jnp.where(ratio != 0, ratio, F32(1.0)))
             shift_region = ar["unit_shift_region"][k]
             shifted = dops.pitch_shift_blend(x[:CFMAX], shift_region,
                                              shift_factor)
@@ -695,19 +707,19 @@ def build_core(dims: PlanDims, ubuf: int, stage: str = "full"):
             prev_tail = win[WIN - CFMAX:]
             it = jnp.arange(CFMAX)
             tail_live = it >= (CFMAX - blen)
-            prev_rms = jnp.sqrt(
-                jnp.sum(jnp.where(tail_live, prev_tail * prev_tail, 0.0))
-                / jnp.maximum(blen, 1).astype(F32)
-            )
-            next_rms = jnp.sqrt(
-                jnp.sum(jnp.where(iu < blen, x * x, 0.0))
-                / jnp.maximum(blen, 1).astype(F32)
-            )
+            prev_rms = dops.sqrt_rn(dops.div_rn(
+                jnp.sum(jnp.where(tail_live, prev_tail * prev_tail, 0.0)),
+                jnp.maximum(blen, 1).astype(F32)))
+            next_rms = dops.sqrt_rn(dops.div_rn(
+                jnp.sum(jnp.where(iu < blen, x * x, 0.0)),
+                jnp.maximum(blen, 1).astype(F32)))
             eratio = jnp.clip(
-                prev_rms / jnp.where(next_rms > 0, next_rms, F32(1.0)),
+                dops.div_rn(prev_rms,
+                            jnp.where(next_rms > 0, next_rms, F32(1.0))),
                 F32(0.5), F32(2.0),
             )
-            tgain = iu.astype(F32) / jnp.maximum(blen, 1).astype(F32)
+            tgain = dops.div_rn(iu.astype(F32),
+                                jnp.maximum(blen, 1).astype(F32))
             egain = eratio * (F32(1.0) - tgain) + tgain
             do_energy = do_boundary & (blen > 0) & \
                 (prev_rms >= F32(1.0)) & (next_rms >= F32(1.0))
@@ -895,7 +907,7 @@ def build_core(dims: PlanDims, ubuf: int, stage: str = "full"):
 
         return contrib_fn
 
-    def boundary_heads(base, ar, windows):
+    def boundary_heads(base, ar, windows, debug=False):
         """Batched boundary DSP (smooth_pitch_boundary +
         match_boundary_energy) from the scan-exported (pitch segment,
         tail) window pairs. Operates on the precomputed base heads — no
@@ -942,14 +954,16 @@ def build_core(dims: PlanDims, ubuf: int, stage: str = "full"):
         next_p = pick_scal(ar["_next_pitch"])
         sr_c = pick_scal(ar["unit_shift_region"])
         voiced_c = (prev_p > 0) & (next_p > 0)
-        ratio_c = next_p / jnp.where(prev_p > 0, prev_p, F32(1.0))
+        ratio_c = dops.div_rn(next_p,
+                              jnp.where(prev_p > 0, prev_p, F32(1.0)))
         jump_c = (ratio_c > F32(1.15)) | (ratio_c < F32(0.85))
         target_c = jnp.where(
             ratio_c > F32(1.0),
             F32(1.0) + (ratio_c - F32(1.0)) * F32(0.5),
             F32(1.0) - (F32(1.0) - ratio_c) * F32(0.5),
         )
-        factor_c = target_c / jnp.where(ratio_c != 0, ratio_c, F32(1.0))
+        factor_c = dops.div_rn(
+            target_c, jnp.where(ratio_c != 0, ratio_c, F32(1.0)))
         shifted_c = jax.vmap(dops.pitch_shift_blend)(
             pick_rows(base[:, :CFMAX]), sr_c, factor_c)     # [NSHIFT, CF]
         use_c = s_live & voiced_c & jump_c & (sr_c > 0)
@@ -970,26 +984,40 @@ def build_core(dims: PlanDims, ubuf: int, stage: str = "full"):
 
             blen = ar["unit_boundary_len"][k]
             tail_live = it >= (CFMAX - blen)
-            prev_rms = jnp.sqrt(
-                jnp.sum(jnp.where(tail_live, prev_tail * prev_tail, 0.0))
-                / jnp.maximum(blen, 1).astype(F32)
-            )
-            next_rms = jnp.sqrt(
-                jnp.sum(jnp.where(it < blen, head * head, 0.0))
-                / jnp.maximum(blen, 1).astype(F32)
-            )
+            prev_rms = dops.sqrt_rn(dops.div_rn(
+                jnp.sum(jnp.where(tail_live, prev_tail * prev_tail, 0.0)),
+                jnp.maximum(blen, 1).astype(F32)))
+            next_rms = dops.sqrt_rn(dops.div_rn(
+                jnp.sum(jnp.where(it < blen, head * head, 0.0)),
+                jnp.maximum(blen, 1).astype(F32)))
             eratio = jnp.clip(
-                prev_rms / jnp.where(next_rms > 0, next_rms, F32(1.0)),
+                dops.div_rn(prev_rms,
+                            jnp.where(next_rms > 0, next_rms, F32(1.0))),
                 F32(0.5), F32(2.0),
             )
-            tgain = it.astype(F32) / jnp.maximum(blen, 1).astype(F32)
+            tgain = dops.div_rn(it.astype(F32),
+                                jnp.maximum(blen, 1).astype(F32))
             egain = eratio * (F32(1.0) - tgain) + tgain
             do_energy = do_boundary & (blen > 0) & \
                 (prev_rms >= F32(1.0)) & (next_rms >= F32(1.0))
             head = jnp.where((it < blen) & do_energy, q16(head * egain), head)
-            return head
+            dbg = jnp.stack([prev_rms, next_rms, eratio,
+                             do_energy.astype(F32), blen.astype(F32),
+                             use_u[k].astype(F32)])
+            return head, dbg
 
-        return jax.vmap(one)(jnp.arange(dims.U), segs, tails)
+        heads_v, dbg_v = jax.vmap(one)(jnp.arange(dims.U), segs, tails)
+        if debug:
+            # Per-unit boundary decision scalars stacked over the
+            # per-candidate shift decisions (tools/stage_diff.py) —
+            # cross-backend f32 sum order and division rounding feed
+            # threshold tests here, so flips localize to these values.
+            cand = jnp.stack([prev_p.astype(F32), next_p.astype(F32),
+                              ratio_c, factor_c, use_c.astype(F32),
+                              jnp.zeros_like(ratio_c)], axis=1)
+            cand = jnp.pad(cand, ((0, dims.U - cand.shape[0]), (0, 0)))
+            return jnp.concatenate([dbg_v, cand], axis=0)
+        return heads_v
 
     def core(bank, bank_lens, gains, ar):
         ar = dict(ar)
@@ -1163,6 +1191,14 @@ def build_core(dims: PlanDims, ubuf: int, stage: str = "full"):
                 heads_1 = boundary_heads(base, ar, windows)
                 return _ck(bufs_1 + jnp.sum(heads_1))
 
+            if stage == "heads1":
+                _, windows = compose_scan(contrib_fn(heads0), fo, True)
+                return _ck(boundary_heads(base, ar, windows))
+
+            if stage == "bdec":
+                _, windows = compose_scan(contrib_fn(heads0), fo, True)
+                return _ck(boundary_heads(base, ar, windows, debug=True))
+
             def r_cond(carry):
                 _, it = carry
                 return it < ar["refine_trips"]
@@ -1309,14 +1345,43 @@ def build_core(dims: PlanDims, ubuf: int, stage: str = "full"):
             [jnp.zeros(1, jnp.int32), jnp.cumsum(zone_slots)[:-1]]
         )
 
-        # Copy-in (ascending zones: each CONTW-wide write may spill into
-        # later zones, which are rewritten by their own later copy).
-        wksp = jnp.zeros(WC, F32)
-        for r in range(dims.R):
-            win_r = lax.slice(bufs, (r, MARGIN),
-                              (r + 1, MARGIN + dims.CONTW))[0]
-            wksp = lax.dynamic_update_slice(wksp, win_r,
-                                            (zone_off[r] * 128,))
+        # Copy-in. Every LIVE resample read is at a region position
+        # < cnt (frame_ok bounds pos ≤ cnt−256, live lerp reads ≤
+        # pos+255, and ca reads past cnt are masked), so only rows
+        # j < zone_slots[r] of each zone ever reach the output — what
+        # rows outside the zones hold is arbitrary.
+        if dims.CONTW % 128 == 0 and \
+                os.environ.get("CTTS_CONTOUR_COPYIN", "onehot") != "loop":
+            # Exact one-hot ROW-pick matmuls (inverse of the merge-back
+            # below): buffer values sit on the int16 lattice between
+            # stages, so hi/lo halves are bf16-exact. Replaces R
+            # serialized dynamic_update_slice passes (8.1 ms/batch of
+            # the contour stage on v5e; the matmul is ~1 ms on the MXU).
+            # Rows with no source (outside every zone) become 0.
+            from ctts_tpu.ops.exact import split_hi_lo as _shl_in
+
+            rows_per_in = dims.CONTW // 128
+            s_rows_in = WC // 128
+            win_rows = lax.slice(
+                bufs, (0, MARGIN), (dims.R, MARGIN + dims.CONTW)
+            ).reshape(dims.R * rows_per_in, 128)
+            j_in = jnp.arange(rows_per_in)[None, :]
+            tgt_in = jnp.where(j_in < zone_slots[:, None],
+                               zone_off[:, None] + j_in, -1).reshape(-1)
+            sel_in = (jnp.arange(s_rows_in)[:, None] == tgt_in[None, :]
+                      ).astype(F32)              # [s_rows_in, R*rows_per]
+            wh_in, wl_in = _shl_in(win_rows)
+            wksp = (F32(256.0) * (sel_in @ wh_in)
+                    + sel_in @ wl_in).reshape(-1)
+        else:
+            # Ascending zones: each CONTW-wide write may spill into
+            # later zones, which are rewritten by their own later copy.
+            wksp = jnp.zeros(WC, F32)
+            for r in range(dims.R):
+                win_r = lax.slice(bufs, (r, MARGIN),
+                                  (r + 1, MARGIN + dims.CONTW))[0]
+                wksp = lax.dynamic_update_slice(wksp, win_r,
+                                                (zone_off[r] * 128,))
 
         # Per-slot region params (one-nonzero selection; counts < 2^24
         # are exact in f32).
@@ -1404,7 +1469,7 @@ def build_core(dims: PlanDims, ubuf: int, stage: str = "full"):
         )
         accc = wrap16(accc)
         goodb = normb > F32(0.01)
-        valb = q16(accc / jnp.where(goodb, normb, F32(1.0)))
+        valb = q16(dops.div_rn(accc, jnp.where(goodb, normb, F32(1.0))))
         valb = jnp.concatenate([valb, jnp.zeros(WC - LA, F32)])
         normb = jnp.concatenate([normb, jnp.zeros(WC - LA, F32)])
         if stage == "contour_ola":  # OLA + normalize

@@ -37,18 +37,19 @@ _PITCH_SPAN = PITCH_MAX_LAG + PITCH_ANALYSIS  # 495
 
 
 def resample_select_grain() -> int:
-    """Column granularity of the shifted-select pruning below: 64 on
-    TPU (~17% fewer select columns than 128, same exact hits); 128 on
-    CPU — the 64-aligned slice/update pattern inside the large vmapped
-    synthesis program triggers an XLA:CPU compiler segfault.
-    CTTS_CONTOUR_GRAIN overrides (tests pin 64↔128 bit-equality on
-    small programs, which compile fine on CPU)."""
+    """Column granularity of the shifted-select pruning below: 128
+    everywhere. 64 prunes ~17% more select columns but runs 28% SLOWER
+    on v5e (46.5 vs 36.3 ms/batch-64, tools/microbench_resample.py —
+    sub-lane-width blocks waste half of every f32 (8, 128) vreg), and
+    the 64-aligned pattern inside the large vmapped synthesis program
+    segfaults the XLA:CPU compiler anyway. CTTS_CONTOUR_GRAIN overrides
+    (tests pin 64↔128 bit-equality on small programs)."""
     import os
 
     env = os.environ.get("CTTS_CONTOUR_GRAIN")
     if env:
         return int(env)
-    return 128 if jax.default_backend() == "cpu" else 64
+    return 128
 
 
 def shifted_select_resample(wpad, drift, D: int, FR: int):

@@ -49,7 +49,7 @@ def test_golden_120_corpus_device(ref_build, voice_db, tmp_path):
         # On the real TPU keep R*WREG at the Pallas whole-sentence VMEM
         # cap (device._pallas_sent_fits) so the run exercises the
         # production Mosaic lowerings (compact/assemble kernels,
-        # 64-grain contour, hierarchical cumsum, WSOLA chain) instead
+        # hierarchical cumsum, WSOLA chain) instead
         # of silently falling back to XLA: R=16 instead of 32 — only a
         # single >16-region utterance splits into its own XLA bucket
         # (10 buckets total, 150/151 rows Pallas-eligible).

@@ -26,6 +26,7 @@ def main() -> None:
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--grains", type=str, default="32,64,128,256")
     ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--stack", type=int, default=2)
     args = ap.parse_args()
 
     import jax
@@ -39,7 +40,7 @@ def main() -> None:
 
     # STACK batches per dispatch so the ~25 ms tunnel round-trip is
     # amortized out of the per-batch figure.
-    STACK = 4
+    STACK = args.stack
     B, K, FR, D = args.batch * STACK, 1060, 256, 28
     W = D + 2 * FR                      # wpad width as built in device.py
     rng = np.random.default_rng(0)

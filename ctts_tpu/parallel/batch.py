@@ -238,42 +238,69 @@ class BatchSynthesizer:
     def stream(self, text_batches, speed: float = 1.0, split: bool = True):
         """Pipelined synthesis over an iterable of text batches.
 
-        Dispatches batch N+1's device work (async under jax) before
-        draining batch N's outputs to host, so device compute overlaps
-        the device→host transfer of the previous batch — the production
-        serving loop (the tunnel transfer was 0.4 s/batch in the round-2
-        profile, fully hidden here). Yields one list of int16 arrays per
-        input batch, in input order.
+        Per-batch phase order is chosen so every expensive term overlaps
+        device compute (tools/microbench_overlap.py, real v5e-1):
+
+          1. host-prep batch N+1 (plan walk + array stacking) — overlaps
+             batch N's device compute;
+          2. trim batch N: sync its tiny `out_lens`, then enqueue the
+             valid-prefix slice. Device programs are FIFO-serial, so the
+             sync costs no device time — and the slice MUST be enqueued
+             *before* batch N+1's core, or it queues behind ~0.1 s of
+             compute and serializes the drain (the round-2 "transfers
+             don't overlap" finding was exactly this ordering artifact);
+          3. enqueue batch N+1's core (behind the trim);
+          4. submit batch N's drain to a background worker — a
+             materialized array's D2H proceeds concurrently with an
+             independent compute program (measured max(A,B), not A+B),
+             and draining off-thread keeps the main thread free to prep
+             and dispatch batch N+2 during the ~0.25 s transfer, so the
+             steady-state period is max(transfer, compute + host prep)
+             rather than their sum.
+
+        Yields one list of int16 arrays per input batch, in input order.
         """
+        from concurrent.futures import ThreadPoolExecutor
+
         from ctts_tpu.plan.split import split_plan
 
-        prev = None
-        for texts in text_batches:
-            plans = self.compile_plans(texts, speed)
-            if split:
-                rows, spans = [], []
-                for p in plans:
-                    r = split_plan(p, self.db)
-                    spans.append((len(rows), len(rows) + len(r)))
-                    rows.extend(r)
-            else:
-                rows = plans
-                spans = [(i, i + 1) for i in range(len(plans))]
-            # Packed: measured on the axon tunnel, device→host transfers
-            # do NOT overlap device compute (90× unpacked vs 122× packed
-            # at batch 64), so minimizing transfer bytes beats trying to
-            # overlap a full-buffer DMA — even though the packed path's
-            # trim op FIFO-queues behind the next batch's compute.
-            handles = self._dispatch(rows)
+        prev = None      # dispatched-but-untrimmed batch N
+        pending = None   # drain future for batch N-1
+        pool = ThreadPoolExecutor(max_workers=1)
+        try:
+            for texts in text_batches:
+                plans = self.compile_plans(texts, speed)
+                if split:
+                    rows, spans = [], []
+                    for p in plans:
+                        r = split_plan(p, self.db)
+                        spans.append((len(rows), len(rows) + len(r)))
+                        rows.extend(r)
+                else:
+                    rows = plans
+                    spans = [(i, i + 1) for i in range(len(plans))]
+                prepped = self._prepare(rows)
+                if prev is not None:
+                    trimmed, pspans = self._trim(prev[0]), prev[1]
+                handles = self._enqueue(prepped)
+                if prev is not None:
+                    fut = pool.submit(self._finish_stream, trimmed, pspans)
+                    if pending is not None:
+                        yield pending.result()
+                    pending = fut
+                prev = (handles, spans)
             if prev is not None:
-                yield self._finish_stream(prev)
-            prev = (handles, spans)
-        if prev is not None:
-            yield self._finish_stream(prev)
+                trimmed, pspans = self._trim(prev[0]), prev[1]
+                if pending is not None:
+                    yield pending.result()
+                yield self._finish_stream(trimmed, pspans)
+            elif pending is not None:
+                yield pending.result()
+        finally:
+            pool.shutdown(wait=True)
 
-    def _finish_stream(self, prev):
-        handles, spans = prev
-        outs = self._collect(handles)
+    def _finish_stream(self, trimmed, spans):
+        outs = self._drain(trimmed)
         return [
             outs[s] if e == s + 1 else np.concatenate(outs[s:e])
             for s, e in spans
@@ -281,6 +308,16 @@ class BatchSynthesizer:
 
     def _dispatch(self, plans, pack: bool = True):
         """Bucket + lower + enqueue device work (async); returns handles."""
+        return self._enqueue(self._prepare(plans, pack))
+
+    def _collect(self, dispatched):
+        return self._drain(self._trim(dispatched))
+
+    def _prepare(self, plans, pack: bool = True):
+        """Host-only lowering: walk plans, bucket, stack numpy arrays.
+
+        Split from _enqueue so the serving loop can do this heavy host
+        work while the previous batch still computes on device."""
         walked = [walk_plan(p, self.db) for p in plans]
         buckets = defaultdict(list)
         for i, w in enumerate(walked):
@@ -288,20 +325,36 @@ class BatchSynthesizer:
             buckets[bd].append((i, w))
         return (
             len(plans),
-            [(bd, items, self._dispatch_bucket(bd, items, pack))
+            [(bd, items, self._prep_bucket(bd, items), pack)
              for bd, items in buckets.items()],
         )
 
-    def _collect(self, dispatched):
+    def _enqueue(self, prepared):
+        n_plans, per_bucket = prepared
+        return (
+            n_plans,
+            [(bd, items, self._enqueue_bucket(bd, prep, pack))
+             for bd, items, prep, pack in per_bucket],
+        )
+
+    def _trim(self, dispatched):
         n_plans, per_bucket = dispatched
+        return (
+            n_plans,
+            [(items, self._trim_bucket(handle))
+             for bd, items, handle in per_bucket],
+        )
+
+    def _drain(self, trimmed):
+        n_plans, per_bucket = trimmed
         results: list[Optional[np.ndarray]] = [None] * n_plans
-        for bd, items, handle in per_bucket:
-            outs = self._collect_bucket(handle)
+        for items, tr in per_bucket:
+            outs = self._drain_bucket(tr)
             for (i, _), out in zip(items, outs):
                 results[i] = out
         return results
 
-    def _dispatch_bucket(self, dims: PlanDims, items, pack: bool = True):
+    def _prep_bucket(self, dims: PlanDims, items):
         n = len(items)
         multiple = self.mesh.devices.size if self.mesh is not None else 1
         bsz = _next_batch_size(max(n, 1), multiple)
@@ -322,14 +375,15 @@ class BatchSynthesizer:
             for k in stacked:
                 stacked[k][slot] = stacked[k][n - 1]
 
-        arrays = {k: jnp.asarray(v) for k, v in stacked.items()}
         from ctts_tpu.synth.device import shared_plan_values
 
-        shared = {
-            k: jnp.asarray(v)
-            for k, v in shared_plan_values(stacked, self.voice.lengths,
-                                           dims).items()
-        }
+        shared = shared_plan_values(stacked, self.voice.lengths, dims)
+        return n, stacked, shared
+
+    def _enqueue_bucket(self, dims: PlanDims, prep, pack: bool = True):
+        n, stacked, shared_np = prep
+        arrays = {k: jnp.asarray(v) for k, v in stacked.items()}
+        shared = {k: jnp.asarray(v) for k, v in shared_np.items()}
         if self.mesh is not None:
             sh = batch_sharding(self.mesh)
             arrays = {k: jax.device_put(v, sh) for k, v in arrays.items()}
@@ -347,7 +401,21 @@ class BatchSynthesizer:
                                       self.voice.gains, arrays, shared)
         return n, pack, out, out_lens, ovf
 
-    def _collect_bucket(self, handle):
+    # Valid-prefix trim lengths round up to this grain so the number of
+    # distinct tiny slice programs stays bounded (one compile per grain
+    # step instead of one per batch total); the over-read tail is ≤128 KB
+    # (~3 ms on the tunnel) and is never handed out (per-row ends bound).
+    _TRIM_GRAIN = 65536
+
+    def _trim_bucket(self, handle):
+        """Sync the tiny per-row lengths, then ENQUEUE the valid-prefix
+        slice of the packed buffer. Called before the next batch's core
+        is enqueued: device programs execute FIFO, so a slice queued here
+        runs as soon as this batch's core finishes, and its result can
+        then transfer concurrently with the next core's compute
+        (tools/microbench_overlap.py variant E). Queued after the next
+        core instead, the same slice waits out that compute and the
+        drain serializes."""
         n, packed, out, out_lens, ovf = handle
         out_lens = np.asarray(out_lens)
         n_ovf = int(np.asarray(ovf).sum())
@@ -358,43 +426,90 @@ class BatchSynthesizer:
                   "segment table; remainder kept uncompacted",
                   file=sys.stderr)
         if packed and self.mesh is not None:
-            return self._collect_packed_sharded(n, out, out_lens)
+            return ("sharded", n, self._trim_packed_sharded(out, out_lens),
+                    out_lens)
         if packed:
             ends = np.cumsum(out_lens)
-            flat = np.asarray(out[: int(ends[-1])])  # transfer valid prefix
+            g = self._TRIM_GRAIN
+            bufn = int(out.shape[0])
+            k = min(bufn, -(-int(ends[-1]) // g) * g)
+            # Two equal-shaped chunks when the prefix is big enough: two
+            # concurrent host pulls aggregate ~1.2x one stream's D2H
+            # bandwidth on the tunnel (tools/microbench_d2h.py — flat
+            # beyond 2 streams). Equal chunk sizes keep the compile key
+            # one-dimensional (s alone, not (s, k) pairs).
+            if k >= 2 * g:
+                s = ((k + 1) // 2 + g - 1) // g * g  # grain-ceil(k/2)
+                chunks = [out[:s], out[s:min(2 * s, bufn)]]
+            else:
+                chunks = [out[:k]]
+            return ("packed", n, chunks, ends)
+        return ("unpacked", n, out, out_lens)
+
+    def _drain_bucket(self, trimmed):
+        kind, n, payload, meta = trimmed
+        if kind == "sharded":
+            return self._drain_packed_sharded(n, payload, meta)
+        if kind == "packed":
+            ends = meta
+            if len(payload) > 1:
+                # Concurrent chunk pulls (threads release the GIL during
+                # the device→host copy; measured aggregate ~1.2x).
+                import threading
+
+                hosts: list = [None] * len(payload)
+
+                def pull(i, c):
+                    hosts[i] = np.asarray(c)
+
+                ts = [threading.Thread(target=pull, args=(i, c))
+                      for i, c in enumerate(payload)]
+                for t in ts:
+                    t.start()
+                for t in ts:
+                    t.join()
+                flat = np.concatenate(hosts)
+            else:
+                flat = np.asarray(payload[0])  # transfer valid prefix
             return [
-                flat[int(ends[i] - out_lens[i]): int(ends[i])]
+                flat[int(ends[i - 1]) if i else 0: int(ends[i])]
                 for i in range(n)
             ]
-        out = np.asarray(out)
+        out_lens = meta
+        out = np.asarray(payload)
         return [
             out[i, : int(out_lens[i])].astype(np.int16) for i in range(n)
         ]
 
-    def _collect_packed_sharded(self, n, out, out_lens):
-        """Pull each device shard's valid prefix of the per-shard packed
-        buffer; rows are block-partitioned in input order by the batch
-        sharding, so concatenating shard extractions preserves order."""
+    def _trim_packed_sharded(self, out, out_lens):
+        """Enqueue each device shard's valid-prefix slice of the per-shard
+        packed buffer; rows are block-partitioned in input order by the
+        batch sharding, so concatenating shard extractions (in _drain)
+        preserves order."""
         bsz = out_lens.shape[0]
         ndev = self.mesh.devices.size
         rows_per = bsz // ndev
         om = out.shape[0] // bsz
-        parts: list[Optional[np.ndarray]] = [None] * ndev
+        parts: list = [None] * ndev
         for shard in out.addressable_shards:
             start = shard.index[0].start or 0
             d = start // (rows_per * om)
             lens_d = out_lens[d * rows_per:(d + 1) * rows_per]
             tot = int(lens_d.sum())
-            parts[d] = (np.asarray(shard.data[:tot]) if tot
-                        else np.zeros(0, np.int16))
+            parts[d] = shard.data[:tot] if tot else np.zeros(0, np.int16)
+        return parts
+
+    def _drain_packed_sharded(self, n, parts, out_lens):
+        ndev = self.mesh.devices.size
+        rows_per = out_lens.shape[0] // ndev
         results = []
         for d in range(ndev):
             lens_d = out_lens[d * rows_per:(d + 1) * rows_per]
             ends = np.cumsum(lens_d)
-            flat = parts[d]
+            flat = np.asarray(parts[d])
             for j in range(rows_per):
                 if len(results) == n:
                     return results
                 results.append(
                     flat[int(ends[j] - lens_d[j]): int(ends[j])])
-        return results[:n]
+        return results

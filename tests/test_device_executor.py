@@ -399,7 +399,7 @@ def test_overflow_counter_surfaced(voice_db, voice, capsys):
 
 def test_collect_packed_sharded_layout_math():
     """Pin the per-shard packed-layout invariants the serving collector
-    relies on (parallel/batch.py:_collect_packed_sharded): rows are
+    relies on (parallel/batch.py:_trim_packed_sharded): rows are
     block-partitioned over devices in input order, each shard's local
     buffer holds ITS rows packed back-to-back from offset 0, and the
     shard.index -> device mapping recovers input order — including a
@@ -435,8 +435,8 @@ def test_collect_packed_sharded_layout_math():
 
     stub = SimpleNamespace(mesh=mesh)
     n = bsz - 3  # ragged: the last 3 rows are padding
-    got = BatchSynthesizer._collect_packed_sharded(
-        stub, n, flat, out_lens)
+    parts = BatchSynthesizer._trim_packed_sharded(stub, flat, out_lens)
+    got = BatchSynthesizer._drain_packed_sharded(stub, n, parts, out_lens)
     assert len(got) == n
     for j in range(n):
         assert np.array_equal(got[j], rows[j]), j

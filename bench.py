@@ -290,7 +290,9 @@ def main() -> None:
     tb0 = time.perf_counter()
     drained = 0
     for _, items, h in all_handles[-1][1]:
-        drained += np.asarray(h[2]).nbytes
+        bufs = h[2] if isinstance(h[2], tuple) else (h[2],)
+        for b in bufs:  # wire handles carry (words, classes)
+            drained += np.asarray(b).nbytes
     transfer_mbps = drained / (time.perf_counter() - tb0) / 1e6
 
     # WSOLA stretch path (speed 1.5): separate bucket/compile; realtime

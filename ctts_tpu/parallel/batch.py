@@ -10,6 +10,7 @@ size); both are coarsely quantized to keep the cache small.
 from __future__ import annotations
 
 import functools
+import os
 from collections import defaultdict
 from typing import Optional, Sequence
 
@@ -35,7 +36,7 @@ from ctts_tpu.text.rules import NormalizationRules
 
 @functools.lru_cache(maxsize=64)
 def _compiled_batch_core(dims: PlanDims, ubuf: int, packed: bool = False,
-                         mesh=None):
+                         mesh=None, wire: bool = False):
     """Jitted vmapped core: batch axis on the plan arrays, bank shared.
 
     With `packed`, the valid prefix of every sentence is compacted into
@@ -45,7 +46,14 @@ def _compiled_batch_core(dims: PlanDims, ubuf: int, packed: bool = False,
     transfer was 0.52 s/batch in the round-1 profile. Under a mesh the
     packing runs per shard via shard_map (each device compacts its own
     rows — no cross-device cumsum, no collectives) and the collector
-    pulls only each shard's valid prefix."""
+    pulls only each shard's valid prefix.
+
+    With `wire` (packed only, no mesh), the packed buffer is further
+    encoded on device with the lossless nibble-plane codec
+    (ops/wire.py): ~0.66x the int16 bytes on speech, which moves the
+    serving ceiling on a slow device→host link. The core then returns
+    (wire_words, classes, out_len, ovf) and the host decodes with one
+    native C pass on the drain thread."""
     core = build_core(dims, ubuf)
 
     def with_shared(bank, lens, gains, arrays, shared):
@@ -78,6 +86,14 @@ def _compiled_batch_core(dims: PlanDims, ubuf: int, packed: bool = False,
 
         p0 = _vary(jnp.zeros(b_n * om, jnp.int16))
         p, _ = lax.scan(place, p0, jnp.arange(b_n))
+        if wire:
+            from ctts_tpu.ops.wire import WIRE_BLOCK, encode_device
+
+            pad = -p.shape[0] % WIRE_BLOCK
+            if pad:
+                p = jnp.concatenate([p, jnp.zeros(pad, jnp.int16)])
+            ww, classes = encode_device(p)
+            return ww, classes, out_len, jnp.sum(ovf)[None]
         return p, out_len, jnp.sum(ovf)[None]
 
     if mesh is None:
@@ -184,12 +200,25 @@ class BatchSynthesizer:
         mesh=None,
         target_rms: float = 3000.0,
         dims_floor: Optional[dict] = None,
+        wire: Optional[bool] = None,
     ):
         self.db = db
         self.config = config
         self.rules = rules
         self.mesh = mesh
         self.dims_floor = dims_floor
+        # Wire-codec D2H (ops/wire.py): default ON for a single real
+        # accelerator (where the slow host link is the serving ceiling),
+        # OFF on CPU (no transfer to save) and under a mesh (per-shard
+        # prefixes are already small; encode would serialize in the
+        # shard_map). CTTS_WIRE=0/1 overrides the auto choice.
+        if wire is None:
+            env = os.environ.get("CTTS_WIRE", "")
+            if env in ("0", "1"):
+                wire = env == "1"
+            else:
+                wire = mesh is None and jax.default_backend() != "cpu"
+        self.wire = bool(wire)
         self.voice = DeviceVoice(db, target_rms)
         if mesh is not None:
             bs = replicated(mesh)
@@ -390,12 +419,19 @@ class BatchSynthesizer:
             rep = replicated(self.mesh)
             shared = {k: jax.device_put(v, rep) for k, v in shared.items()}
 
-        core = _compiled_batch_core(dims, self.voice.ubuf, pack, self.mesh)
+        wire = self.wire and pack and self.mesh is None
+        core = _compiled_batch_core(dims, self.voice.ubuf, pack, self.mesh,
+                                    wire)
         if self.mesh is not None:
             with _no_persistent_cache():
                 out, out_lens, ovf = core(
                     self.voice.bank, self.voice.lengths,
                     self.voice.gains, arrays, shared)
+        elif wire:
+            ww, classes, out_lens, ovf = core(
+                self.voice.bank, self.voice.lengths,
+                self.voice.gains, arrays, shared)
+            return n, "wire", (ww, classes), out_lens, ovf
         else:
             out, out_lens, ovf = core(self.voice.bank, self.voice.lengths,
                                       self.voice.gains, arrays, shared)
@@ -417,14 +453,38 @@ class BatchSynthesizer:
         core instead, the same slice waits out that compute and the
         drain serializes."""
         n, packed, out, out_lens, ovf = handle
-        out_lens = np.asarray(out_lens)
-        n_ovf = int(np.asarray(ovf).sum())
+        # ONE round trip for all the tiny scalars: device_get issues
+        # copy_to_host_async on every leaf before converting, so the
+        # lens/classes/ovf pulls overlap — each separate np.asarray
+        # would cost a full ~25 ms tunnel round trip.
+        classes = None
+        if packed == "wire":
+            out_lens, classes, ovf = jax.device_get(
+                [out_lens, out[1], ovf])
+        else:
+            out_lens, ovf = jax.device_get([out_lens, ovf])
+        n_ovf = int(ovf.sum())
         if n_ovf > 0:
             import sys
 
             print(f"ctts_tpu: {n_ovf} region(s) exceeded the silence "
                   "segment table; remainder kept uncompacted",
                   file=sys.stderr)
+        if packed == "wire":
+            from ctts_tpu.ops.wire import wire_valid_words
+
+            ww = out[0]
+            ends = np.cumsum(out_lens)
+            need = wire_valid_words(classes, int(ends[-1]))
+            g = self._TRIM_GRAIN // 2  # int32 words; same 128 KB grain
+            bufn = int(ww.shape[0])
+            k = min(bufn, -(-need // g) * g)
+            if k >= 2 * g:
+                s = ((k + 1) // 2 + g - 1) // g * g
+                chunks = [ww[:s], ww[s:min(2 * s, bufn)]]
+            else:
+                chunks = [ww[:k]]
+            return ("wire", n, chunks, (ends, classes))
         if packed and self.mesh is not None:
             return ("sharded", n, self._trim_packed_sharded(out, out_lens),
                     out_lens)
@@ -446,31 +506,45 @@ class BatchSynthesizer:
             return ("packed", n, chunks, ends)
         return ("unpacked", n, out, out_lens)
 
+    @staticmethod
+    def _pull_chunks(payload):
+        """Device→host copy of the trim's chunk list. Concurrent pulls
+        (threads release the GIL during the copy) aggregate ~1.2x one
+        stream's D2H bandwidth on the tunnel."""
+        if len(payload) == 1:
+            return np.asarray(payload[0])
+        import threading
+
+        hosts: list = [None] * len(payload)
+
+        def pull(i, c):
+            hosts[i] = np.asarray(c)
+
+        ts = [threading.Thread(target=pull, args=(i, c))
+              for i, c in enumerate(payload)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        return np.concatenate(hosts)
+
     def _drain_bucket(self, trimmed):
         kind, n, payload, meta = trimmed
         if kind == "sharded":
             return self._drain_packed_sharded(n, payload, meta)
+        if kind == "wire":
+            from ctts_tpu.ops.wire import decode_host
+
+            ends, classes = meta
+            flat = decode_host(self._pull_chunks(payload), classes,
+                               int(ends[-1]))
+            return [
+                flat[int(ends[i - 1]) if i else 0: int(ends[i])]
+                for i in range(n)
+            ]
         if kind == "packed":
             ends = meta
-            if len(payload) > 1:
-                # Concurrent chunk pulls (threads release the GIL during
-                # the device→host copy; measured aggregate ~1.2x).
-                import threading
-
-                hosts: list = [None] * len(payload)
-
-                def pull(i, c):
-                    hosts[i] = np.asarray(c)
-
-                ts = [threading.Thread(target=pull, args=(i, c))
-                      for i, c in enumerate(payload)]
-                for t in ts:
-                    t.start()
-                for t in ts:
-                    t.join()
-                flat = np.concatenate(hosts)
-            else:
-                flat = np.asarray(payload[0])  # transfer valid prefix
+            flat = self._pull_chunks(payload)  # transfer valid prefix
             return [
                 flat[int(ends[i - 1]) if i else 0: int(ends[i])]
                 for i in range(n)

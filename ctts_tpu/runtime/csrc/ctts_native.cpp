@@ -756,4 +756,48 @@ int64_t ctn_execute_plan(void* handle, const CtnPlan* plan, int16_t** out) {
 
 void ctn_free(int16_t* p) { std::free(p); }
 
+// Wire codec decoder (see ctts_tpu/ops/wire.py for the format): each
+// 512-sample block stores 1-5 nibble planes of the zigzagged order-2
+// delta residual, 64 uint32 words per plane (nibble i of a block at
+// bits 4*(i%8) of word i/8). One streaming pass rebuilds the residual,
+// undoes the zigzag, and inverts the predictor with two running int32
+// sums (exact wraparound inverse of the encoder's double delta).
+// Returns the samples written (== nsamples on success, -1 on a class
+// out of range). Called off the serving drain thread via ctypes (the
+// call releases the GIL).
+int64_t ctn_wire_decode(const uint32_t* wire, const int32_t* classes,
+                        int64_t nblk, int64_t nsamples, int16_t* out) {
+  const int K = 512;
+  const uint32_t* w = wire;
+  uint32_t c1 = 0;  // running first delta (uint32: defined wraparound)
+  uint32_t x = 0;   // running sample
+  int64_t idx = 0;
+  int32_t z[K];
+  for (int64_t b = 0; b < nblk && idx < nsamples; ++b) {
+    const int32_t c = classes[b];
+    if (c < 1 || c > 5) return -1;
+    for (int i = 0; i < K; ++i) z[i] = 0;
+    for (int32_t p = 0; p < c; ++p, w += 64) {
+      const int shift = 4 * p;
+      for (int wi = 0; wi < 64; ++wi) {
+        uint32_t v = w[wi];
+        int32_t* zp = z + wi * 8;
+        for (int k = 0; k < 8; ++k, v >>= 4)
+          zp[k] |= static_cast<int32_t>(v & 0xF) << shift;
+      }
+    }
+    const int n = static_cast<int>(
+        nsamples - idx < K ? nsamples - idx : K);
+    for (int i = 0; i < n; ++i) {
+      const uint32_t zi = static_cast<uint32_t>(z[i]);
+      const uint32_t r = (zi >> 1) ^ (~(zi & 1u) + 1u);  // zigzag undo
+      c1 += r;
+      x += c1;
+      out[idx + i] = static_cast<int16_t>(x & 0xFFFFu);
+    }
+    idx += n;
+  }
+  return idx;
+}
+
 }  // extern "C"

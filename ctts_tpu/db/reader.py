@@ -24,6 +24,7 @@ class VoiceDatabase:
     """Read-only view of a compiled voice.db."""
 
     def __init__(self, path: str):
+        self.path = str(path)
         self._file = open(path, "rb")
         self._map = mmap.mmap(self._file.fileno(), 0, access=mmap.ACCESS_READ)
         buf = memoryview(self._map)

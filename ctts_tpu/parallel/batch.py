@@ -201,12 +201,22 @@ class BatchSynthesizer:
         target_rms: float = 3000.0,
         dims_floor: Optional[dict] = None,
         wire: Optional[bool] = None,
+        native_plans: Optional[bool] = None,
     ):
         self.db = db
         self.config = config
         self.rules = rules
         self.mesh = mesh
         self.dims_floor = dims_floor
+        # Native (C++) text→arrays lowering (plan/native_lower.py):
+        # default ON when the lib builds and no rule file is loaded
+        # (the native frontend does not run normalization rule files).
+        # CTTS_NATIVE_PLANS=0/1 overrides.
+        if native_plans is None:
+            env = os.environ.get("CTTS_NATIVE_PLANS", "")
+            native_plans = env == "1" if env in ("0", "1") else True
+        self._native_plans = bool(native_plans) and rules is None
+        self._nl = None  # lazily-created NativeLowerer (False = failed)
         # Wire-codec D2H (ops/wire.py): default ON for a single real
         # accelerator (where the slow host link is the serving ceiling),
         # OFF on CPU (no transfer to save) and under a mesh (per-shard
@@ -245,21 +255,81 @@ class BatchSynthesizer:
         bucket (byte-equal to the unsplit path — plan.split docstring);
         outputs are concatenated per input. Stretch plans never split.
         """
-        plans = self.compile_plans(texts, speed)
-        if not split:
-            return self.execute(plans)
-        from ctts_tpu.plan.split import split_plan
-
-        rows, spans = [], []
-        for p in plans:
-            r = split_plan(p, self.db)
-            spans.append((len(rows), len(rows) + len(r)))
-            rows.extend(r)
-        outs = self.execute(rows)
+        prepared, spans = self._lower_batch(texts, speed, split)
+        outs = self._drain(self._trim(self._enqueue(prepared)))
         return [
             outs[s] if e == s + 1 else np.concatenate(outs[s:e])
             for s, e in spans
         ]
+
+    # -- host lowering -------------------------------------------------------
+
+    def _get_native_lowerer(self):
+        if self._nl is False or not self._native_plans:
+            return None
+        if self._nl is None:
+            try:
+                from ctts_tpu.plan.native_lower import NativeLowerer
+
+                self._nl = NativeLowerer(self.db.path, self.config)
+            except Exception:
+                self._nl = False
+                return None
+        return self._nl
+
+    def _lower_batch(self, texts, speed: float, split: bool):
+        """Host lowering of a text batch: (prepared, spans).
+
+        Takes the native C++ path (plan/native_lower.py — the binding
+        host term of the serving loop on 1-core hosts) when available;
+        the Python pipeline otherwise. Both produce bit-identical
+        arrays (tests/test_native_lower.py)."""
+        nl = self._get_native_lowerer()
+        if nl is not None:
+            return self._prepare_native(nl, texts, speed, split)
+        plans = self.compile_plans(texts, speed)
+        if split:
+            from ctts_tpu.plan.split import split_plan
+
+            rows, spans = [], []
+            for p in plans:
+                r = split_plan(p, self.db)
+                spans.append((len(rows), len(rows) + len(r)))
+                rows.extend(r)
+        else:
+            rows = plans
+            spans = [(i, i + 1) for i in range(len(plans))]
+        return self._prepare(rows), spans
+
+    def _prepare_native(self, nl, texts, speed: float, split: bool):
+        """Native twin of compile+split+_prepare: rows are lowered and
+        filled straight into the stacked arrays by libctts.so."""
+        spans, dims_list, trips = nl.lower(texts, speed, split)
+        buckets = defaultdict(list)
+        for i, d in enumerate(dims_list):
+            buckets[bucket_dims(d, self.dims_floor)].append(i)
+
+        from ctts_tpu.synth.device import shared_plan_values
+
+        multiple = self.mesh.devices.size if self.mesh is not None else 1
+        thr = np.float32(self.config.silence_threshold)
+        per_bucket = []
+        for bd, idxs in buckets.items():
+            n = len(idxs)
+            bsz = _next_batch_size(max(n, 1), multiple)
+            stacked = nl.alloc_stacked(bd, bsz)
+            for slot, ri in enumerate(idxs):
+                nl.fill_into(ri, bd, stacked, slot)
+            stacked["threshold"][:] = thr
+            stacked["speed"][:] = np.float32(speed)
+            stacked["refine_trips"][:n] = [trips[ri] for ri in idxs]
+            for k in stacked:  # pad slots replicate the last row
+                stacked[k][n:] = stacked[k][n - 1]
+            shared = shared_plan_values(stacked, self.voice.lengths, bd)
+            per_bucket.append(
+                (bd, [(ri, None) for ri in idxs], (n, stacked, shared),
+                 True))
+        return (len(dims_list), per_bucket), spans
 
     def execute(self, plans):
         return self._collect(self._dispatch(plans))
@@ -291,24 +361,12 @@ class BatchSynthesizer:
         """
         from concurrent.futures import ThreadPoolExecutor
 
-        from ctts_tpu.plan.split import split_plan
-
         prev = None      # dispatched-but-untrimmed batch N
         pending = None   # drain future for batch N-1
         pool = ThreadPoolExecutor(max_workers=1)
         try:
             for texts in text_batches:
-                plans = self.compile_plans(texts, speed)
-                if split:
-                    rows, spans = [], []
-                    for p in plans:
-                        r = split_plan(p, self.db)
-                        spans.append((len(rows), len(rows) + len(r)))
-                        rows.extend(r)
-                else:
-                    rows = plans
-                    spans = [(i, i + 1) for i in range(len(plans))]
-                prepped = self._prepare(rows)
+                prepped, spans = self._lower_batch(texts, speed, split)
                 if prev is not None:
                     trimmed, pspans = self._trim(prev[0]), prev[1]
                 handles = self._enqueue(prepped)

@@ -49,6 +49,7 @@ int32_t ctn_db_find_unit(void* handle, const char* text, size_t len);
 // Returns the unit's text bytes (NUL-terminated in the string pool) and
 // writes its byte length; NULL for an out-of-range index.
 const char* ctn_db_unit_text(void* handle, uint32_t idx, uint32_t* len);
+uint32_t ctn_db_unit_sample_count(void* handle, uint32_t idx);
 int64_t ctn_execute_plan(void* handle, const CtnPlan* plan, int16_t** out);
 void ctn_free(int16_t* p);
 

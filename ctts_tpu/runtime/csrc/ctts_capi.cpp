@@ -1630,3 +1630,584 @@ const char* ctts_strerror(int error_code) {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Batch plan lowering for the TPU serving path (ctl_*).
+//
+// C++ twin of the host half of the device pipeline: compile_plan
+// (ctts_tpu/plan/compiler.py) -> split_plan (plan/split.py) ->
+// walk_plan + derive_dims + fill_device_plan (synth/device.py:299-564).
+// The Python modules remain the parity-tested source of truth;
+// tests/test_native_lower.py pins this lowering bit-exactly against
+// them (every filled array equal, every derived dim equal).
+//
+// The serving loop spends its host budget here (1-core hosts measured
+// ~48 ms/64-row batch in Python vs ~3 ms native), so this is the
+// production text->arrays path; normalization rule files are NOT
+// supported here (the Python path handles rules != None).
+//
+// Not thread-safe per handle: one handle per BatchSynthesizer, used
+// from its dispatch thread only.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct LowerUnit {
+  int32_t id, region;
+  int64_t off;
+  int32_t boundary, cf_in;
+  bool fade_in, smooth;
+  int32_t analysis, boundary_len, shift_region;
+  bool prev_ok;
+};
+
+struct LowerRegion {
+  int64_t len = 0;
+  bool do_dsp = false;
+  int32_t word_index = 0;
+  int64_t pause_after = 0;
+  int32_t fade_after = 0;
+};
+
+struct LowerFade {
+  int32_t region;
+  int64_t pos;
+  int32_t len;
+};
+
+// One batch row: a walked (dims-independent) plan partition.
+struct LowerRow {
+  std::vector<LowerUnit> units;
+  std::vector<LowerRegion> regions;
+  std::vector<LowerFade> fades;
+  std::vector<int32_t> shift_cands;
+  int32_t cf_max = 1;
+  int32_t margin = 0, win = 0, cfmax = 0;
+  int64_t max_region_len = 1, total_len = 0;
+  bool stretch = false;
+  int32_t synth_hop = 0;
+  int32_t refine_trips = 0;
+  float speed = 1.0f;
+  // Shared per-text prosody.
+  Intonation inton{};
+  int32_t word_count = 0;
+};
+
+struct LowerHandle {
+  void* ndb = nullptr;
+  CTTSConfig cfg{};
+  int32_t bank_w = 0;  // roundup(max unit sample_count, 1024)
+  int32_t min_silence_samples = 0;
+  int32_t fade_in_samples = 0;
+  std::vector<LowerRow> rows;
+};
+
+// Ceil-to-multiple for non-negative x (C++ int division truncates
+// toward zero, so Python's -(-x // m) * m idiom does NOT port).
+int64_t lower_roundup(int64_t x, int64_t m) { return (x + m - 1) / m * m; }
+
+int64_t lower_next_pow2(int64_t x, int64_t lo) {
+  int64_t n = lo;
+  while (n < x) n *= 2;
+  return n;
+}
+
+// synthesis_hop_for_speed (ops/wsola_jax.py:177; ctts.c:3511-3512).
+int32_t lower_synth_hop(float speed) {
+  float s = std::min(std::max(speed, 0.5f), 2.0f);
+  int32_t hop = (int32_t)(128.0f / s);
+  return hop < 1 ? 1 : hop;
+}
+
+// _omax_for (synth/device.py:142-155).
+int64_t lower_omax(int64_t smax, bool stretch, int32_t hop) {
+  if (!stretch) return smax;
+  int64_t h = hop < 1 ? 1 : hop;
+  int64_t omax = lower_roundup((smax / 128 + 2) * h + 512 + 2048, 128);
+  if (hop >= 126) omax = std::max(omax, lower_roundup(smax + 2048, 128));
+  return omax;
+}
+
+// walk_plan (synth/device.py:299-422) over one op-range row.
+void lower_walk(LowerHandle* h, const PlanOps& ops, size_t op_s,
+                size_t op_e, int64_t buf_total0, float speed,
+                const Prosody& pro, LowerRow* row) {
+  row->speed = speed;
+  row->inton = pro.intonation;
+  row->word_count = pro.word_count;
+
+  int32_t cf_max = 1;
+  for (size_t i = op_s; i < op_e; ++i)
+    if (ops.kind[i] == OP_UNIT && ops.arg1[i] > cf_max) cf_max = ops.arg1[i];
+  row->cf_max = cf_max;
+  int64_t win = lower_roundup(std::max<int64_t>(2 * (int64_t)cf_max, 1024),
+                              1024);
+  int64_t cfmax = lower_roundup(cf_max, 1024);
+  row->win = (int32_t)win;
+  row->cfmax = (int32_t)cfmax;
+  row->margin = (int32_t)(win + cfmax);
+
+  LowerRegion cur;
+  int64_t cursor = 0;
+  int64_t buf_total = buf_total0;
+  bool post_dsp = false;
+
+  auto close_region = [&]() {
+    cur.len = cursor;
+    row->regions.push_back(cur);
+    cur = LowerRegion{};
+    cursor = 0;
+    post_dsp = false;
+  };
+
+  for (size_t oi = op_s; oi < op_e; ++oi) {
+    int32_t r = (int32_t)row->regions.size();
+    int32_t kind = ops.kind[oi];
+    if (kind == OP_UNIT) {
+      int64_t n = ctn_db_unit_sample_count(h->ndb, (uint32_t)ops.arg0[oi]);
+      int32_t cf = ops.arg1[oi];
+      bool awb = (ops.flags[oi] & 1) != 0;
+      bool smooth_flag = (ops.flags[oi] & 2) != 0;
+      int64_t cf_in;
+      bool fade_in;
+      if (awb || buf_total == 0) {
+        cf_in = 0;
+        fade_in = true;
+      } else if (cf == 0) {
+        cf_in = 0;
+        fade_in = false;
+      } else {
+        cf_in = std::min<int64_t>(std::min<int64_t>(cf, buf_total), n);
+        fade_in = false;
+      }
+      int64_t off = cursor - cf_in;
+      LowerUnit u;
+      u.id = ops.arg0[oi];
+      u.region = r;
+      u.off = off;
+      u.boundary = cf;
+      u.cf_in = (int32_t)cf_in;
+      u.fade_in = fade_in;
+      u.smooth = smooth_flag && buf_total > 0;
+      u.analysis = (int32_t)std::min<int64_t>(
+          std::min<int64_t>(2 * (int64_t)cf, buf_total / 2), n / 2);
+      u.boundary_len =
+          (int32_t)std::min<int64_t>(std::min<int64_t>(cf, buf_total), n);
+      u.shift_region = (int32_t)std::min<int64_t>(cf, n / 4);
+      u.prev_ok = buf_total >= 200;
+      row->units.push_back(u);
+      cursor = off + n;
+      buf_total += n - cf_in;
+    } else if (kind == OP_SILENCE) {
+      bool closes = oi + 1 < op_e && ops.kind[oi + 1] == OP_MARK_WORD;
+      if (post_dsp || closes) {
+        cur.pause_after += ops.arg0[oi];
+      } else {
+        cursor += ops.arg0[oi];
+      }
+      buf_total += ops.arg0[oi];
+    } else if (kind == OP_FADE_TAIL) {
+      if (post_dsp) {
+        cur.fade_after = ops.arg0[oi];
+      } else {
+        row->fades.push_back({r, cursor, ops.arg0[oi]});
+      }
+    } else if (kind == OP_WORD_DSP) {
+      cur.do_dsp = true;
+      cur.word_index = ops.arg0[oi];
+      post_dsp = true;
+    } else if (kind == OP_MARK_WORD) {
+      close_region();
+    }
+  }
+  close_region();
+
+  int64_t mrl = 1;
+  for (const auto& rg : row->regions) mrl = std::max(mrl, rg.len);
+  row->max_region_len = mrl;
+
+  // Head-mod chain depth (device.py:382-410).
+  struct DepthRec { int64_t off, m, d; };
+  std::vector<std::vector<DepthRec>> depth_by_region(row->regions.size());
+  int32_t refine_trips = 0;
+  for (const auto& u : row->units) {
+    bool modifies = u.smooth && u.boundary > 0;
+    int64_t m = std::max<int64_t>(
+        std::max<int64_t>(u.cf_in, u.boundary_len), u.shift_region);
+    int64_t lo = u.off + u.cf_in - win;
+    int64_t hi = u.off + u.cf_in;
+    int64_t d = 0;
+    if (modifies) {
+      d = 1;
+      for (const auto& rec : depth_by_region[u.region]) {
+        if (rec.d > 0 && rec.off + rec.m > lo && rec.off < hi)
+          d = std::max(d, 1 + rec.d);
+      }
+    }
+    depth_by_region[u.region].push_back({u.off, m, d});
+    refine_trips = std::max(refine_trips, (int32_t)d);
+  }
+  row->refine_trips = refine_trips;
+
+  row->stretch = speed != 1.0f;
+  row->synth_hop = row->stretch ? lower_synth_hop(speed) : 0;
+  int64_t total = 0;
+  for (const auto& rg : row->regions) total += rg.len + rg.pause_after;
+  row->total_len = total;
+
+  // _shift_candidates (device.py:425-434).
+  for (size_t k = 0; k < row->units.size(); ++k) {
+    const auto& u = row->units[k];
+    if (u.smooth && u.boundary > 0 && u.prev_ok && u.shift_region > 0 &&
+        ctn_db_unit_sample_count(h->ndb, (uint32_t)u.id) >= 200)
+      row->shift_cands.push_back((int32_t)k);
+  }
+}
+
+// intonation_scalars (synth/device.py:204-274).
+void lower_intonation_scalars(const Intonation& in, int32_t word_index,
+                              int32_t total_words, float mpc, float out5[5],
+                              bool* qfinal_out, bool* energy_out) {
+  auto clampv = [mpc](float p) {
+    float lo = 1.0f - mpc, hi = 1.0f + mpc;
+    return std::min(std::max(p, lo), hi);
+  };
+  int32_t denom = total_words > 1 ? total_words - 1 : 1;
+  float phrase_pos = (float)word_index / (float)denom;
+  bool is_final = word_index == total_words - 1;
+  bool is_penult = (word_index == total_words - 2) && total_words > 1;
+
+  float peak_pos = in.peak_position;
+  float p_start = in.pitch_start;
+  float p_end = in.pitch_end;
+  float p_peak = in.pitch_peak;
+
+  float pf;
+  if (phrase_pos <= peak_pos) {
+    float t = phrase_pos / peak_pos;
+    t = t * t * (3.0f - 2.0f * t);
+    pf = p_start + (p_peak - p_start) * t;
+  } else {
+    float t = (phrase_pos - peak_pos) / (1.0f - peak_pos);
+    t = t * t * (3.0f - 2.0f * t);
+    pf = p_peak + (p_end - p_peak) * t;
+  }
+  pf = clampv(pf);
+
+  float ws = clampv(pf * 0.98f);
+  float we = clampv(pf * 1.02f);
+  bool qfinal = false;
+
+  if (in.type == PHRASE_INTERROGATIVE && (is_final || is_penult)) {
+    if (is_final) {
+      ws = clampv(pf * 0.95f);
+      we = clampv(p_end);
+      qfinal = true;
+    } else {
+      ws = clampv(pf * 0.98f);
+      we = clampv(pf * 1.05f);
+    }
+  } else if (in.type == PHRASE_EXCLAMATORY) {
+    if (word_index == 0) {
+      ws = clampv(p_peak);
+      we = clampv(pf);
+    } else if (is_final) {
+      ws = clampv(pf);
+      we = clampv(p_end);
+    } else {
+      ws = clampv(pf * 1.02f);
+      we = clampv(pf * 0.98f);
+    }
+  } else if (in.type == PHRASE_CONTINUATION && is_final) {
+    ws = clampv(pf * 0.96f);
+    we = clampv(p_end);
+  } else {
+    ws = clampv(pf * 0.98f);
+    we = clampv(pf * 1.02f);
+    if (is_final) we = clampv(p_end);
+  }
+
+  float ef = in.energy_factor;
+  bool energy_active = std::fabs(ef - 1.0f) > 0.01f;
+  float es = ef, ee = ef;
+  if (in.type == PHRASE_EXCLAMATORY && word_index == 0) {
+    es = ef * 1.1f;
+    ee = ef * 0.95f;
+  }
+  out5[0] = ws;
+  out5[1] = we;
+  out5[2] = clampv(p_peak);
+  out5[3] = es;
+  out5[4] = ee;
+  *qfinal_out = qfinal;
+  *energy_out = energy_active;
+}
+
+}  // namespace
+
+extern "C" {
+
+void* ctl_open(const char* db_path, const CTTSConfig* cfg) {
+  void* ndb = ctn_db_open(db_path);
+  if (!ndb) return nullptr;
+  auto* h = new LowerHandle();
+  h->ndb = ndb;
+  h->cfg = *cfg;
+  uint32_t nunits = ctn_db_unit_count(ndb);
+  uint32_t mx = 0;
+  for (uint32_t i = 0; i < nunits; ++i)
+    mx = std::max(mx, ctn_db_unit_sample_count(ndb, i));
+  h->bank_w = (int32_t)lower_roundup(std::max<int64_t>(mx, 1), 1024);
+  h->min_silence_samples = ms_to_samples(cfg->min_silence_ms);
+  h->fade_in_samples = ms_to_samples(cfg->fade_in_ms);
+  return h;
+}
+
+void ctl_close(void* handle) {
+  auto* h = static_cast<LowerHandle*>(handle);
+  if (!h) return;
+  ctn_db_close(h->ndb);
+  delete h;
+}
+
+void ctl_begin(void* handle) {
+  static_cast<LowerHandle*>(handle)->rows.clear();
+}
+
+// Compile one text into batch rows: normalize (numbers -> lowercase;
+// regex rule files are the Python path's job) -> compile_ops -> split
+// at sentence ends (speed 1.0 only; plan/split.py) -> walk each row.
+// Returns the number of rows appended, or -1 on error.
+int32_t ctl_add_text(void* handle, const char* text, int64_t nbytes,
+                     float speed, int32_t split) {
+  auto* h = static_cast<LowerHandle*>(handle);
+  std::string raw(text, (size_t)nbytes);
+  Prosody pro = analyze_prosody(raw.c_str(), h->cfg.max_pitch_change);
+  std::string normalized = normalize_lowercase(expand_numbers(raw));
+  CTTSConfig cfg = h->cfg;
+  cfg.print_units = 0;
+  PlanOps ops = compile_ops(h->ndb, normalized, &cfg);
+  size_t n_ops = ops.kind.size();
+
+  // split_plan (plan/split.py:37-107).
+  std::vector<size_t> bounds;
+  bounds.push_back(0);
+  if (split && speed == 1.0f) {
+    for (size_t i = 0; i < n_ops; ++i) {
+      if (ops.kind[i] == OP_MARK_WORD && (ops.flags[i] & 1)) {
+        size_t cut = i;
+        if (i >= 1 && ops.kind[i - 1] == OP_SILENCE) cut = i - 1;
+        if (cut > 0) bounds.push_back(cut);
+      }
+    }
+  }
+  bounds.push_back(n_ops);
+
+  // Per-row start offsets of the pre-removal running length.
+  struct Range { size_t s, e; int64_t buf0; };
+  std::vector<Range> ranges;
+  int64_t buf_total = 0;
+  for (size_t bi = 0; bi + 1 < bounds.size(); ++bi) {
+    size_t s = bounds[bi], e = bounds[bi + 1];
+    if (s == e) continue;
+    ranges.push_back({s, e, buf_total});
+    for (size_t i = s; i < e; ++i) {
+      if (ops.kind[i] == OP_UNIT) {
+        int64_t n = ctn_db_unit_sample_count(h->ndb, (uint32_t)ops.arg0[i]);
+        int64_t cf_in = 0;
+        if (!(ops.flags[i] & 1) && buf_total != 0 && ops.arg1[i] != 0)
+          cf_in = std::min<int64_t>(std::min<int64_t>(ops.arg1[i], buf_total),
+                                    n);
+        buf_total += n - cf_in;
+      } else if (ops.kind[i] == OP_SILENCE) {
+        buf_total += ops.arg0[i];
+      }
+    }
+  }
+  // Merge a trailing unit-less row into its predecessor.
+  if (ranges.size() > 1) {
+    bool has_unit = false;
+    for (size_t i = ranges.back().s; i < ranges.back().e; ++i)
+      if (ops.kind[i] == OP_UNIT) { has_unit = true; break; }
+    if (!has_unit) {
+      ranges[ranges.size() - 2].e = ranges.back().e;
+      ranges.pop_back();
+    }
+  }
+  // Single-row result must match the UNSPLIT plan (buf0 = 0, whole ops).
+  if (ranges.size() <= 1)
+    ranges.assign(1, {0, n_ops, 0});
+
+  for (const auto& rr : ranges) {
+    h->rows.emplace_back();
+    lower_walk(h, ops, rr.s, rr.e, rr.buf0, speed, pro, &h->rows.back());
+  }
+  return (int32_t)ranges.size();
+}
+
+int32_t ctl_row_count(void* handle) {
+  return (int32_t)static_cast<LowerHandle*>(handle)->rows.size();
+}
+
+// derive_dims (synth/device.py:437-470): writes 21 int32 values:
+//  0 U  1 R  2 FD  3 NSHIFT  4 WREG  5 MARGIN  6 UBUF  7 WIN  8 CFMAX
+//  9 SMAX  10 OMAX  11 CONTW  12 FADEW  13 FADE2W  14 fade_in_samples
+//  15 min_silence_samples  16 remove_dc  17 stretch  18 synth_hop
+//  19 contour_drift  20 refine_trips
+int32_t ctl_row_dims(void* handle, int32_t row, int32_t* out) {
+  auto* h = static_cast<LowerHandle*>(handle);
+  if (row < 0 || (size_t)row >= h->rows.size()) return -1;
+  const LowerRow& w = h->rows[row];
+  int64_t smax = lower_roundup(std::max<int64_t>(w.total_len, 1024), 128);
+  int64_t wreg = lower_roundup(
+      (int64_t)w.margin + w.max_region_len + h->bank_w + w.cfmax, 1024);
+  out[0] = (int32_t)std::max<size_t>(w.units.size(), 1);
+  out[1] = (int32_t)std::max<size_t>(w.regions.size(), 1);
+  out[2] = (int32_t)std::max<size_t>(w.fades.size(), 1);
+  out[3] = (int32_t)std::max<int64_t>(
+      lower_roundup((int64_t)w.shift_cands.size(), 8), 8);
+  out[4] = (int32_t)wreg;
+  out[5] = w.margin;
+  out[6] = h->bank_w;
+  out[7] = w.win;
+  out[8] = w.cfmax;
+  out[9] = (int32_t)smax;
+  out[10] = (int32_t)lower_omax(smax, w.stretch, w.synth_hop);
+  out[11] = (int32_t)std::min(
+      lower_next_pow2(std::max<int64_t>(w.max_region_len, 1024), 1024),
+      wreg - w.margin);
+  int64_t max_fade = 1;
+  for (const auto& f : w.fades) max_fade = std::max<int64_t>(max_fade, f.len);
+  out[12] = (int32_t)std::min(lower_roundup(max_fade, 128),
+                              (int64_t)w.margin);
+  int64_t max_fa = 1;
+  for (const auto& rg : w.regions)
+    max_fa = std::max<int64_t>(max_fa, rg.fade_after);
+  out[13] = (int32_t)lower_next_pow2(max_fa, 128);
+  out[14] = h->fade_in_samples;
+  out[15] = h->min_silence_samples;
+  out[16] = h->cfg.remove_dc_offset ? 1 : 0;
+  out[17] = w.stretch ? 1 : 0;
+  out[18] = w.synth_hop;
+  out[19] = (int32_t)std::min<int64_t>(
+      (int64_t)std::ceil(256.0 * std::fabs((double)h->cfg.max_pitch_change))
+          + 2,
+      256);
+  out[20] = w.refine_trips;
+  return 0;
+}
+
+// fill_device_plan (synth/device.py:473-564) into caller-owned arrays.
+// bdims: 0 U  1 R  2 FD  3 NSHIFT  4 MARGIN  5 UBUF  6 CONTW  7 FADEW
+// ptrs (manifest order, shared with ctts_tpu/plan/native_lower.py):
+//  0 unit_id[i32 U]       1 unit_region[i32 U]    2 unit_off[i32 U]
+//  3 unit_boundary[i32 U] 4 unit_cf_in[i32 U]     5 unit_fade_in[u8 U]
+//  6 unit_smooth[u8 U]    7 unit_analysis[i32 U]  8 unit_boundary_len[i32 U]
+//  9 unit_shift_region[i32 U] 10 unit_prev_ok[u8 U]
+// 11 region_len[i32 R]   12 region_do_dsp[u8 R]  13 region_remove[u8 R]
+// 14 region_pause[i32 R] 15 region_fade_after[i32 R]
+// 16 region_contour[f32 R*5] 17 region_qfinal[u8 R] 18 region_energy[u8 R]
+// 19 region_active[u8 R]
+// 20 fade_region[i32 FD] 21 fade_pos[i32 FD] 22 fade_len[i32 FD]
+// 23 shift_slots[i32 NSHIFT]
+int32_t ctl_fill_row(void* handle, int32_t row, const int32_t* bd,
+                     void** ptrs) {
+  auto* h = static_cast<LowerHandle*>(handle);
+  if (row < 0 || (size_t)row >= h->rows.size()) return -1;
+  const LowerRow& w = h->rows[row];
+  const int32_t U = bd[0], R = bd[1], FD = bd[2], NSHIFT = bd[3],
+                MARGIN = bd[4], UBUF = bd[5], CONTW = bd[6], FADEW = bd[7];
+  if ((int32_t)w.units.size() > U || (int32_t)w.regions.size() > R ||
+      (int32_t)w.fades.size() > FD ||
+      (int32_t)w.shift_cands.size() > NSHIFT)
+    return -2;
+  if (MARGIN < 2 * w.cf_max || UBUF < h->bank_w ||
+      CONTW < w.max_region_len || FADEW > MARGIN)
+    return -3;
+  for (const auto& f : w.fades)
+    if (f.len > FADEW) return -3;
+
+  auto i32p = [&](int k) { return static_cast<int32_t*>(ptrs[k]); };
+  auto u8p = [&](int k) { return static_cast<uint8_t*>(ptrs[k]); };
+  auto f32p = [&](int k) { return static_cast<float*>(ptrs[k]); };
+
+  for (int32_t k = 0; k < U; ++k) {
+    i32p(0)[k] = -1;
+    i32p(1)[k] = 0;
+    i32p(2)[k] = 0;
+    i32p(3)[k] = 0;
+    i32p(4)[k] = 0;
+    u8p(5)[k] = 0;
+    u8p(6)[k] = 0;
+    i32p(7)[k] = 0;
+    i32p(8)[k] = 0;
+    i32p(9)[k] = 0;
+    u8p(10)[k] = 0;
+  }
+  for (size_t k = 0; k < w.units.size(); ++k) {
+    const LowerUnit& u = w.units[k];
+    i32p(0)[k] = u.id;
+    i32p(1)[k] = u.region;
+    i32p(2)[k] = (int32_t)(u.off + MARGIN);
+    i32p(3)[k] = u.boundary;
+    i32p(4)[k] = u.cf_in;
+    u8p(5)[k] = u.fade_in ? 1 : 0;
+    u8p(6)[k] = u.smooth ? 1 : 0;
+    i32p(7)[k] = u.analysis;
+    i32p(8)[k] = u.boundary_len;
+    i32p(9)[k] = u.shift_region;
+    u8p(10)[k] = u.prev_ok ? 1 : 0;
+  }
+
+  for (int32_t r = 0; r < R; ++r) {
+    i32p(11)[r] = 0;
+    u8p(12)[r] = 0;
+    u8p(13)[r] = 0;
+    i32p(14)[r] = 0;
+    i32p(15)[r] = 0;
+    for (int c = 0; c < 5; ++c) f32p(16)[r * 5 + c] = 1.0f;
+    u8p(17)[r] = 0;
+    u8p(18)[r] = 0;
+    u8p(19)[r] = 0;
+  }
+  const int32_t wc = w.word_count;
+  for (size_t r = 0; r < w.regions.size(); ++r) {
+    const LowerRegion& rg = w.regions[r];
+    i32p(11)[r] = (int32_t)rg.len;
+    u8p(19)[r] = 1;
+    u8p(12)[r] = rg.do_dsp ? 1 : 0;
+    u8p(13)[r] = (rg.do_dsp && h->cfg.remove_word_silence &&
+                  rg.len > h->min_silence_samples)
+                     ? 1
+                     : 0;
+    i32p(14)[r] = (int32_t)rg.pause_after;
+    i32p(15)[r] = rg.fade_after;
+    if (rg.do_dsp && wc > 0) {
+      float c5[5];
+      bool qf, ea;
+      lower_intonation_scalars(w.inton, rg.word_index, wc,
+                               h->cfg.max_pitch_change, c5, &qf, &ea);
+      for (int c = 0; c < 5; ++c) f32p(16)[r * 5 + c] = c5[c];
+      u8p(17)[r] = qf ? 1 : 0;
+      u8p(18)[r] = ea ? 1 : 0;
+    }
+  }
+
+  for (int32_t k = 0; k < FD; ++k) {
+    i32p(20)[k] = 0;
+    i32p(21)[k] = -1;
+    i32p(22)[k] = 0;
+  }
+  for (size_t k = 0; k < w.fades.size(); ++k) {
+    i32p(20)[k] = w.fades[k].region;
+    i32p(21)[k] = (int32_t)w.fades[k].pos;
+    i32p(22)[k] = w.fades[k].len;
+  }
+
+  for (int32_t k = 0; k < NSHIFT; ++k) i32p(23)[k] = -1;
+  for (size_t k = 0; k < w.shift_cands.size(); ++k)
+    i32p(23)[k] = w.shift_cands[k];
+  return 0;
+}
+
+}  // extern "C"

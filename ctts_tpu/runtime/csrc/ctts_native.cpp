@@ -577,6 +577,12 @@ const char* ctn_db_unit_text(void* handle, uint32_t idx, uint32_t* len) {
   return db->strings + e.string_offset;
 }
 
+uint32_t ctn_db_unit_sample_count(void* handle, uint32_t idx) {
+  auto* db = static_cast<Database*>(handle);
+  if (idx >= db->header.unit_count) return 0;
+  return db->index[idx].sample_count;
+}
+
 // Execute a plan; returns sample count, writes a malloc'd buffer to *out.
 int64_t ctn_execute_plan(void* handle, const CtnPlan* plan, int16_t** out) {
   auto* db = static_cast<Database*>(handle);

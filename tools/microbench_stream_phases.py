@@ -4,8 +4,8 @@ The pipelined serving loop's period is max(transfer, host work + sync
 gaps); this decomposes one iteration into its host-visible phases so
 the binding term is attributable:
 
-  plans    compile_plans + split_plan          (host CPU)
-  prep     walk_plan + array stacking          (host CPU)
+  lower    _lower_batch: text -> stacked arrays (host CPU; native C++
+           when available, Python pipeline otherwise)
   trim     out_lens sync + slice enqueue       (device round-trip)
   enqueue  jnp.asarray + core dispatch         (host + transfer H2D)
   wait     pending.result() (drain N-1)        (D2H bound)
@@ -36,7 +36,6 @@ def main():
     from ctts_tpu.config import config_defaults
     from ctts_tpu.db.reader import VoiceDatabase
     from ctts_tpu.parallel.batch import BatchSynthesizer
-    from ctts_tpu.plan.split import split_plan
 
     root = tempfile.mkdtemp(prefix="ctts_phases_")
     dbp = build_db(root)
@@ -54,7 +53,7 @@ def main():
     from concurrent.futures import ThreadPoolExecutor
 
     phases = {k: [] for k in
-              ("plans", "prep", "trim", "enqueue", "wait", "period")}
+              ("lower", "trim", "enqueue", "wait", "period")}
     pool = ThreadPoolExecutor(max_workers=1)
     prev = None
     pending = None
@@ -62,14 +61,7 @@ def main():
     t_iter = time.perf_counter()
     for it in range(iters):
         t0 = time.perf_counter()
-        plans = bs.compile_plans(texts, 1.0)
-        rows, spans = [], []
-        for p in plans:
-            r = split_plan(p, db)
-            spans.append((len(rows), len(rows) + len(r)))
-            rows.extend(r)
-        t1 = time.perf_counter()
-        prepped = bs._prepare(rows)
+        prepped, spans = bs._lower_batch(texts, 1.0, True)
         t2 = time.perf_counter()
         if prev is not None:
             trimmed, pspans = bs._trim(prev[0]), prev[1]
@@ -84,8 +76,7 @@ def main():
             pending = fut
         t5 = time.perf_counter()
         prev = (handles, spans)
-        phases["plans"].append(t1 - t0)
-        phases["prep"].append(t2 - t1)
+        phases["lower"].append(t2 - t0)
         phases["trim"].append(t3 - t2)
         phases["enqueue"].append(t4 - t3)
         phases["wait"].append(t5 - t4)

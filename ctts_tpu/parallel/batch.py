@@ -509,7 +509,19 @@ class BatchSynthesizer:
         then transfer concurrently with the next core's compute
         (tools/microbench_overlap.py variant E). Queued after the next
         core instead, the same slice waits out that compute and the
-        drain serializes."""
+        drain serializes.
+
+        The out_lens sync here looks like a stall but is NOT worth
+        speculating away (measured, real v5e-1, interleaved A/B): the
+        tunnel serializes ALL transfers, so at steady state this wait
+        rides the same link the previous batch's chunk pulls occupy —
+        the loop period already sits at max(link time, compute).
+        Guessing the slice length from the bucket's last batch and
+        resolving out_lens later measured 873x e2e with the resolve on
+        the drain thread (delays every chunk pull queued behind it)
+        and 638-1000x with it on the main thread after the next core's
+        enqueue (contends with in-flight chunk pulls), vs 1015-1133x
+        for this synchronous order."""
         n, packed, out, out_lens, ovf = handle
         # ONE round trip for all the tiny scalars: device_get issues
         # copy_to_host_async on every leaf before converting, so the

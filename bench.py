@@ -222,9 +222,13 @@ def main() -> None:
              "CONTW": 32768, "WIN": 2048, "CFMAX": 1024}
     bs = BatchSynthesizer(db, config, mesh=mesh, dims_floor=floor)
 
-    # Batch 64 fits the v5e's 16 GB HBM with the current buffer sizing
-    # (batch 128 OOMs at ~23 GB); halve on OOM for robustness.
-    batch_mult = int(os.environ.get("CTTS_BENCH_BATCH_MULT", "4"))
+    # Batch 128 (mult 8): the serving period is compute-bound and the
+    # per-batch fixed terms (tunnel RTT sync ~24 ms + host dispatch)
+    # amortize with batch size — measured 1152x vs 1048x e2e in the same
+    # window (tools/microbench_stream_phases.py mult 8 vs 4, v5e-1).
+    # Fits the v5e's 16 GB HBM with the compact contour workspace;
+    # halve on OOM for robustness.
+    batch_mult = int(os.environ.get("CTTS_BENCH_BATCH_MULT", "8"))
     while batch_mult >= 1:
         texts = TEXTS * batch_mult
         try:
@@ -388,7 +392,11 @@ def main() -> None:
         mixed = mixed[:1024]
         chunk = len(texts)
         batches = [mixed[i:i + chunk] for i in range(0, len(mixed), chunk)]
-        for _ in bs.stream([batches[-1]]):  # warm the long-text bucket
+        # Warm EVERY chunk once: chunk compositions differ (short/long
+        # bucket split sizes vary per chunk), so warming only one chunk
+        # leaves cold XLA compiles inside the timed region — measured
+        # 97x instead of ~740x when the cache was cold.
+        for _ in bs.stream(iter(batches)):
             pass
         t0 = time.perf_counter()
         m_audio = 0.0

@@ -10,7 +10,11 @@ the binding term is attributable:
   enqueue  jnp.asarray + core dispatch         (host + transfer H2D)
   wait     pending.result() (drain N-1)        (D2H bound)
 
-Usage: timeout 1200 python tools/microbench_stream_phases.py [iters]
+Usage: timeout 1200 python tools/microbench_stream_phases.py [iters] [mult]
+
+mult scales the batch (TEXTS * mult, default 4 = 64 sentences): the
+period's fixed per-batch terms (tunnel RTT sync ~24 ms + host dispatch)
+amortize with batch size until HBM or the link bind.
 """
 import json
 import os
@@ -44,7 +48,7 @@ def main():
     floor = {"U": 32, "R": 16, "FD": 8, "WREG": 32768, "SMAX": 131072,
              "CONTW": 32768, "WIN": 2048, "CFMAX": 1024}
     bs = BatchSynthesizer(db, config, dims_floor=floor)
-    texts = TEXTS * 4
+    texts = TEXTS * (int(sys.argv[2]) if len(sys.argv) > 2 else 4)
 
     # Warm compile via the stream path.
     for _ in bs.stream([texts]):

@@ -96,6 +96,24 @@ def measure_c_reference(root: str, dbp: str) -> float:
     return float(np.median(rtfs))
 
 
+def warm_oom_halving(run, texts, floor):
+    """Run a warmup callable over `texts`; on device OOM halve the batch
+    and retry, down to `floor` sentences. Returns the surviving batch.
+
+    Every timed section dispatches its own bucket/compile (stretch is a
+    different bucket from speed-1.0; mixed chunks differ again), so the
+    speed-1.0 warmup surviving does not prove the others fit — each
+    section's warm pass goes through this guard."""
+    while True:
+        try:
+            run(texts)
+            return texts
+        except Exception as e:
+            if "memory" not in str(e).lower() or len(texts) <= floor:
+                raise
+            texts = texts[: max(len(texts) // 2, floor)]
+
+
 def probe_backend(timeout_s: float) -> tuple[str, int] | None:
     """Probe jax backend init in a subprocess (axon init can HANG, not
     just fail — BENCH_r03 died on this; VERDICT r3 item 2). Returns
@@ -305,12 +323,14 @@ def main() -> None:
     stretch_compute_rtf = 0.0
     stretch_outs = None
     if os.environ.get("CTTS_BENCH_STRETCH", "1") == "1":
-        for _ in bs.stream([texts], speed=1.5):  # compile + warmup
-            pass
+        s_texts = warm_oom_halving(
+            lambda t: [None for _ in bs.stream([t], speed=1.5)],
+            texts, len(TEXTS))  # compile + warmup, OOM-halved
         s_iters = max(iters - 2, 2)
         s_rates = []
         t0 = time.perf_counter()
-        for s_outs in bs.stream((texts for _ in range(s_iters)), speed=1.5):
+        for s_outs in bs.stream((s_texts for _ in range(s_iters)),
+                                speed=1.5):
             t1 = time.perf_counter()
             s_rates.append(
                 sum(o.shape[0] for o in s_outs) / SAMPLE_RATE / (t1 - t0)
@@ -324,7 +344,7 @@ def main() -> None:
         # excludes the tunnel's 20-40 MB/s D2H, which alone caps the
         # end-to-end stretch figure at ~650x here).
         s_rows = []
-        for spl in bs.compile_plans(texts, 1.5):
+        for spl in bs.compile_plans(s_texts, 1.5):
             s_rows.extend(split_plan(spl, db))
         sc_rates = []
         for _ in range(3):
@@ -352,15 +372,21 @@ def main() -> None:
             "será que vamos crescer 30 por cento? talvez, quem sabe. "
             "a matriz fica na rua 7, número 123, em são paulo."
         )
-        paras = [paragraph] * 8
-        bs.synthesize(paras[:1])  # warmup/compile the paragraph buckets
+        # Through the pipelined stream() loop (the serving path the
+        # headline uses), not unpipelined synthesize(): the paragraph
+        # config is a driver config (BASELINE.json configs[2]) and its
+        # number must not mix in the host/sync terms stream() overlaps.
+        paras = warm_oom_halving(
+            lambda p: [None for _ in bs.stream([p])],
+            [paragraph] * 8, 1)
         p_rates = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            p_outs = bs.synthesize(paras)
-            dt = time.perf_counter() - t0
+        p_iters = 4
+        t0 = time.perf_counter()
+        for p_outs in bs.stream(paras for _ in range(p_iters)):
+            t1 = time.perf_counter()
             p_rates.append(
-                sum(o.shape[0] for o in p_outs) / SAMPLE_RATE / dt)
+                sum(o.shape[0] for o in p_outs) / SAMPLE_RATE / (t1 - t0))
+            t0 = t1
         paragraph_rtf = float(np.median(p_rates)) / max(n_chips, 1)
         # Parity spot-check: the split device path must match the
         # oracle's single grown-buffer execution (ctts.c:3000-3012).
@@ -391,13 +417,23 @@ def main() -> None:
         mixed = (TEXTS + long_texts) * 57  # 1026 → trim to 1024
         mixed = mixed[:1024]
         chunk = len(texts)
-        batches = [mixed[i:i + chunk] for i in range(0, len(mixed), chunk)]
         # Warm EVERY chunk once: chunk compositions differ (short/long
         # bucket split sizes vary per chunk), so warming only one chunk
         # leaves cold XLA compiles inside the timed region — measured
-        # 97x instead of ~740x when the cache was cold.
-        for _ in bs.stream(iter(batches)):
-            pass
+        # 97x instead of ~740x when the cache was cold. OOM during the
+        # warm halves the chunk size (long sentences widen the bucket
+        # beyond what the speed-1.0 warmup proved fits).
+        while True:
+            batches = [mixed[i:i + chunk]
+                       for i in range(0, len(mixed), chunk)]
+            try:
+                for _ in bs.stream(iter(batches)):
+                    pass
+                break
+            except Exception as e:
+                if "memory" not in str(e).lower() or chunk <= len(TEXTS):
+                    raise
+                chunk = max(chunk // 2, len(TEXTS))
         t0 = time.perf_counter()
         m_audio = 0.0
         for outs_m in bs.stream(iter(batches)):

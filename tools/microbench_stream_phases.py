@@ -29,6 +29,9 @@ import numpy as np
 
 def main():
     iters = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    if iters < 3:
+        sys.exit("need iters >= 3: medians skip the first 2 "
+                 "(cold/pipeline-fill) samples")
     import jax
 
     cache_dir = os.environ.get("CTTS_JAX_CACHE", "/tmp/ctts_jax_cache")

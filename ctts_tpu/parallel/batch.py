@@ -48,12 +48,15 @@ def _compiled_batch_core(dims: PlanDims, ubuf: int, packed: bool = False,
     rows — no cross-device cumsum, no collectives) and the collector
     pulls only each shard's valid prefix.
 
-    With `wire` (packed only, no mesh), the packed buffer is further
-    encoded on device with the lossless nibble-plane codec
-    (ops/wire.py): ~0.66x the int16 bytes on speech, which moves the
-    serving ceiling on a slow device→host link. The core then returns
-    (wire_words, classes, out_len, ovf) and the host decodes with one
-    native C pass on the drain thread."""
+    With `wire` (packed only), the packed buffer is further encoded on
+    device with the lossless nibble-plane codec (ops/wire.py): ~0.66x
+    the int16 bytes on speech, which moves the serving ceiling on a
+    slow device→host link. The core then returns (wire_words, classes,
+    out_len, ovf) and the host decodes with one native C pass on the
+    drain thread. Under a mesh the codec runs per shard inside the
+    shard_map body — it is block-local by construction (deltas, plane
+    classes, and tile compaction never cross rows), so sharding adds no
+    collectives and every chip's host link gets the same byte cut."""
     core = build_core(dims, ubuf)
 
     def with_shared(bank, lens, gains, arrays, shared):
@@ -115,11 +118,12 @@ def _compiled_batch_core(dims: PlanDims, ubuf: int, packed: bool = False,
         return run(cast(bank), cast(lens), cast(gains), arrays,
                    cast(shared))
 
+    n_out = 4 if wire else 3
     sm = jax.shard_map(
         run_varying,
         mesh=mesh,
         in_specs=(P(), P(), P(), P(DATA_AXIS), P()),
-        out_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=(P(DATA_AXIS),) * n_out,
     )
     return jax.jit(sm)
 
@@ -217,17 +221,18 @@ class BatchSynthesizer:
             native_plans = env == "1" if env in ("0", "1") else True
         self._native_plans = bool(native_plans) and rules is None
         self._nl = None  # lazily-created NativeLowerer (False = failed)
-        # Wire-codec D2H (ops/wire.py): default ON for a single real
-        # accelerator (where the slow host link is the serving ceiling),
-        # OFF on CPU (no transfer to save) and under a mesh (per-shard
-        # prefixes are already small; encode would serialize in the
-        # shard_map). CTTS_WIRE=0/1 overrides the auto choice.
+        # Wire-codec D2H (ops/wire.py): default ON on real accelerators
+        # (where the host link is the serving ceiling), with or without
+        # a mesh — per-shard encode is collective-free and aggregate
+        # D2H bytes are unchanged by sharding, so every chip's link
+        # pays full price without it. OFF on CPU (no transfer to
+        # save). CTTS_WIRE=0/1 overrides the auto choice.
         if wire is None:
             env = os.environ.get("CTTS_WIRE", "")
             if env in ("0", "1"):
                 wire = env == "1"
             else:
-                wire = mesh is None and jax.default_backend() != "cpu"
+                wire = jax.default_backend() != "cpu"
         self.wire = bool(wire)
         self.voice = DeviceVoice(db, target_rms)
         if mesh is not None:
@@ -477,22 +482,25 @@ class BatchSynthesizer:
             rep = replicated(self.mesh)
             shared = {k: jax.device_put(v, rep) for k, v in shared.items()}
 
-        wire = self.wire and pack and self.mesh is None
+        wire = self.wire and pack
         core = _compiled_batch_core(dims, self.voice.ubuf, pack, self.mesh,
                                     wire)
-        if self.mesh is not None:
-            with _no_persistent_cache():
-                out, out_lens, ovf = core(
-                    self.voice.bank, self.voice.lengths,
-                    self.voice.gains, arrays, shared)
-        elif wire:
-            ww, classes, out_lens, ovf = core(
-                self.voice.bank, self.voice.lengths,
-                self.voice.gains, arrays, shared)
+        # The persistent-cache workaround is an XLA:CPU serialization
+        # crash (see _no_persistent_cache); scoping it to the CPU
+        # backend keeps real-TPU mesh serving from recompiling its
+        # cores in every fresh process.
+        from contextlib import nullcontext
+
+        ctx = (_no_persistent_cache()
+               if self.mesh is not None and jax.default_backend() == "cpu"
+               else nullcontext())
+        with ctx:
+            res = core(self.voice.bank, self.voice.lengths,
+                       self.voice.gains, arrays, shared)
+        if wire:
+            ww, classes, out_lens, ovf = res
             return n, "wire", (ww, classes), out_lens, ovf
-        else:
-            out, out_lens, ovf = core(self.voice.bank, self.voice.lengths,
-                                      self.voice.gains, arrays, shared)
+        out, out_lens, ovf = res
         return n, pack, out, out_lens, ovf
 
     # Valid-prefix trim lengths round up to this grain so the number of
@@ -540,6 +548,9 @@ class BatchSynthesizer:
             print(f"ctts_tpu: {n_ovf} region(s) exceeded the silence "
                   "segment table; remainder kept uncompacted",
                   file=sys.stderr)
+        if packed == "wire" and self.mesh is not None:
+            return ("wire_sharded", n,
+                    *self._trim_wire_sharded(out[0], out_lens, classes))
         if packed == "wire":
             from ctts_tpu.ops.wire import wire_valid_words
 
@@ -602,6 +613,19 @@ class BatchSynthesizer:
         kind, n, payload, meta = trimmed
         if kind == "sharded":
             return self._drain_packed_sharded(n, payload, meta)
+        if kind == "wire_sharded":
+            from ctts_tpu.ops.wire import decode_host
+
+            results = []
+            for part, (lens_d, cls_d, tot_d) in zip(payload, meta):
+                flat = decode_host(np.asarray(part), cls_d, tot_d)
+                ends = np.cumsum(lens_d)
+                for j in range(len(lens_d)):
+                    if len(results) == n:
+                        return results
+                    results.append(
+                        flat[int(ends[j] - lens_d[j]): int(ends[j])])
+            return results
         if kind == "wire":
             from ctts_tpu.ops.wire import decode_host
 
@@ -624,6 +648,34 @@ class BatchSynthesizer:
         return [
             out[i, : int(out_lens[i])].astype(np.int16) for i in range(n)
         ]
+
+    def _trim_wire_sharded(self, ww, out_lens, classes):
+        """Per-shard wire trim: each device's shard of the wire stream
+        holds that shard's independently-encoded blocks (the codec is
+        block-local; the shard_map body encodes its own rows), so the
+        valid prefix is computable per shard from its classes slice.
+        Slice lengths round up to the trim grain so distinct tiny slice
+        programs stay bounded, as in the unsharded path."""
+        from ctts_tpu.ops.wire import wire_valid_words
+
+        ndev = self.mesh.devices.size
+        bsz = out_lens.shape[0]
+        rows_per = bsz // ndev
+        nblk_s = classes.shape[0] // ndev
+        g = self._TRIM_GRAIN // 2  # int32 words; same 128 KB grain
+        parts: list = [None] * ndev
+        metas: list = [None] * ndev
+        for shard in ww.addressable_shards:
+            cap = shard.data.shape[0]
+            d = (shard.index[0].start or 0) // cap
+            lens_d = out_lens[d * rows_per:(d + 1) * rows_per]
+            tot_d = int(lens_d.sum())
+            cls_d = classes[d * nblk_s:(d + 1) * nblk_s]
+            need = wire_valid_words(cls_d, tot_d)
+            k = min(cap, -(-need // g) * g)
+            parts[d] = shard.data[:k]
+            metas[d] = (lens_d, cls_d, tot_d)
+        return parts, metas
 
     def _trim_packed_sharded(self, out, out_lens):
         """Enqueue each device shard's valid-prefix slice of the per-shard

@@ -213,13 +213,14 @@ class BatchSynthesizer:
         self.mesh = mesh
         self.dims_floor = dims_floor
         # Native (C++) text→arrays lowering (plan/native_lower.py):
-        # default ON when the lib builds and no rule file is loaded
-        # (the native frontend does not run normalization rule files).
+        # default ON when the lib builds; rule files are applied
+        # natively (host regcomp via ctl_set_rules — a rejected pattern
+        # falls back to the Python lowering at first use).
         # CTTS_NATIVE_PLANS=0/1 overrides.
         if native_plans is None:
             env = os.environ.get("CTTS_NATIVE_PLANS", "")
             native_plans = env == "1" if env in ("0", "1") else True
-        self._native_plans = bool(native_plans) and rules is None
+        self._native_plans = bool(native_plans)
         self._nl = None  # lazily-created NativeLowerer (False = failed)
         # Wire-codec D2H (ops/wire.py): default ON on real accelerators
         # (where the host link is the serving ceiling), with or without
@@ -276,7 +277,8 @@ class BatchSynthesizer:
             try:
                 from ctts_tpu.plan.native_lower import NativeLowerer
 
-                self._nl = NativeLowerer(self.db.path, self.config)
+                self._nl = NativeLowerer(self.db.path, self.config,
+                                         self.rules)
             except Exception:
                 self._nl = False
                 return None

@@ -8,12 +8,15 @@ fill_device_plan. On the 1-core serving hosts the Python lowering costs
 compute and transfer overlap — while this path runs it in ~3 ms and
 writes each row straight into the batch-stacked numpy arrays.
 
-Parity contract: for `rules=None` configs, every produced array and
-every derived dimension is bit-equal to the Python path's
-(tests/test_native_lower.py pins this across the corpus, speeds, and a
-byte fuzz). Normalization *rule files* are not supported natively —
-BatchSynthesizer falls back to the Python lowering when rules are
-loaded.
+Parity contract: every produced array and every derived dimension is
+bit-equal to the Python path's (tests/test_native_lower.py pins this
+across the corpus, speeds, rule files in both flavors, and a byte
+fuzz). Normalization rule files are applied natively: the loaded
+rules' POSIX-form patterns go to ctl_set_rules, which compiles them
+with host regcomp (exactly like the reference binary, ctts.c:343-408)
+and applies them per text inside ctl_add_text. If any pattern fails
+regcomp, the constructor raises and BatchSynthesizer falls back to the
+Python lowering — never a partially-installed rule set.
 """
 
 from __future__ import annotations
@@ -110,13 +113,18 @@ def _load():
     global _lib
     if _lib is not None:
         return _lib or None
+    # Always invoke make: it is dependency-checked (a no-op when the
+    # .so is current) and keeps a checked-in binary from going stale
+    # against edited csrc. Only a missing .so after the attempt is
+    # fatal here.
+    try:
+        subprocess.run(["make", "-C", _RUNTIME, "libctts.so"],
+                       check=True, capture_output=True)
+    except Exception:
+        pass
     if not os.path.exists(_SO):
-        try:
-            subprocess.run(["make", "-C", _RUNTIME, "libctts.so"],
-                           check=True, capture_output=True)
-        except Exception:
-            _lib = False
-            return None
+        _lib = False
+        return None
     try:
         lib = ctypes.CDLL(_SO)
         lib.ctl_open.restype = ctypes.c_void_p
@@ -141,6 +149,12 @@ def _load():
             ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_void_p),
         ]
+        lib.ctl_set_rules.restype = ctypes.c_int32
+        lib.ctl_set_rules.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.POINTER(ctypes.c_char_p),
+        ]
         _lib = lib
     except Exception:
         _lib = False
@@ -155,7 +169,7 @@ def available() -> bool:
 class NativeLowerer:
     """One native lowering handle per synthesizer (not thread-safe)."""
 
-    def __init__(self, db_path: str, config: CTTSConfig):
+    def __init__(self, db_path: str, config: CTTSConfig, rules=None):
         lib = _load()
         if lib is None:
             raise RuntimeError("libctts.so unavailable")
@@ -167,6 +181,21 @@ class NativeLowerer:
         self._h = lib.ctl_open(db_path.encode(), ctypes.byref(cc))
         if not self._h:
             raise RuntimeError(f"ctl_open failed for {db_path}")
+        if rules is not None and rules.rules:
+            pats = [r.posix for r in rules.rules]
+            reps = [r.replace for r in rules.rules]
+            if any(p is None for p in pats):
+                raise RuntimeError(
+                    "rules lack POSIX patterns (hand-built NormRule?)")
+            rc = lib.ctl_set_rules(
+                self._h, len(pats),
+                (ctypes.c_char_p * len(pats))(*pats),
+                (ctypes.c_char_p * len(reps))(*reps),
+            )
+            if rc != 0:
+                raise RuntimeError(
+                    f"ctl_set_rules failed (rc {rc}): a pattern was "
+                    "rejected by host regcomp")
 
     def __del__(self):
         try:

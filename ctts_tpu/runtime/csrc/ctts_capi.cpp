@@ -24,6 +24,7 @@
 #include <vector>
 #include <algorithm>
 
+#include <locale.h>
 #include <regex.h>
 
 #include "../include/ctts.h"
@@ -242,6 +243,28 @@ std::string expand_numbers(const std::string& text) {
 constexpr int kMaxNormRules = 256;
 constexpr int kMaxReplaceLen = 256;
 
+// The reference binary never calls setlocale, so its regcomp/regexec
+// run in the C locale (byte semantics; ctype classes and \< \> word
+// boundaries are ASCII). A host process embedding this library may
+// differ — Python coerces LC_CTYPE to C.UTF-8 at startup, under which
+// regexec treats multibyte sequences as single word characters and
+// 't\>' stops matching before a UTF-8 'á'. Every regcomp/regexec in
+// this file runs under this per-thread C-locale scope.
+class CLocaleScope {
+ public:
+  CLocaleScope() : old_(uselocale(c_loc())) {}
+  ~CLocaleScope() { uselocale(old_); }
+  CLocaleScope(const CLocaleScope&) = delete;
+  CLocaleScope& operator=(const CLocaleScope&) = delete;
+
+ private:
+  static locale_t c_loc() {
+    static locale_t loc = newlocale(LC_ALL_MASK, "C", (locale_t)0);
+    return loc;
+  }
+  locale_t old_;
+};
+
 struct NormRule {
   regex_t regex;
   char replace[kMaxReplaceLen];
@@ -297,6 +320,7 @@ void write_replacement(std::string& dst, size_t cap, const char* replace,
 // cap and zero-length-match byte skip (ctts.c:439-505).
 std::string apply_normalization_str(const std::string& text) {
   if (g_norm_rule_count == 0) return text;
+  CLocaleScope c_locale;
   size_t cap = text.size() * 4 + 1024 - 1;
   std::string current = text;
   for (size_t ri = 0; ri < g_norm_rule_count; ++ri) {
@@ -1223,6 +1247,7 @@ char* ctts_normalize(const char* text) {
 
 int ctts_load_normalization(const char* csv_file) {
   if (g_norm_rules_loaded) return CTTS_OK;
+  CLocaleScope c_locale;  // regcomp must see C-locale ctype tables
   std::FILE* f = std::fopen(csv_file, "r");
   if (!f) {
     g_norm_rules_loaded = true;
@@ -1693,14 +1718,56 @@ struct LowerRow {
   int32_t word_count = 0;
 };
 
+// Per-handle normalization rule (ctl_set_rules): the batch lowering
+// applies rule files itself so the serving loop's fast host path stays
+// available with rules loaded (the reference applies normalization.csv
+// on every synthesis, ctts.c:3647-3648 — it is live behavior).
+struct LowerRule {
+  regex_t regex;
+  std::string replace;
+};
+
 struct LowerHandle {
   void* ndb = nullptr;
   CTTSConfig cfg{};
   int32_t bank_w = 0;  // roundup(max unit sample_count, 1024)
   int32_t min_silence_samples = 0;
   int32_t fade_in_samples = 0;
+  std::vector<LowerRule> rules;
   std::vector<LowerRow> rows;
 };
+
+// Sequential whole-string rewrite over the handle's rule set — same
+// semantics as apply_normalization_str / NormalizationRules.apply
+// (output cap, \0..\9 backrefs, zero-length-match byte skip;
+// ctts.c:439-505), but per handle instead of the global CTTS rule set.
+std::string lower_apply_rules(const LowerHandle* h,
+                              const std::string& text) {
+  if (h->rules.empty()) return text;
+  CLocaleScope c_locale;
+  size_t cap = text.size() * 4 + 1024 - 1;
+  std::string current = text;
+  for (const auto& rule : h->rules) {
+    std::string next;
+    next.reserve(current.size());
+    const char* src = current.c_str();
+    regmatch_t m[10];
+    while (*src && next.size() < cap) {
+      if (regexec(&rule.regex, src, 10, m, 0) == 0 && m[0].rm_so >= 0) {
+        size_t before = std::min((size_t)m[0].rm_so, cap - next.size());
+        next.append(src, before);
+        write_replacement(next, cap, rule.replace.c_str(), src, m);
+        src += m[0].rm_eo;
+        if (m[0].rm_eo == 0) ++src;  // zero-length match: skip one byte
+      } else {
+        next.append(src, std::min(strlen(src), cap - next.size()));
+        break;
+      }
+    }
+    current = std::move(next);
+  }
+  return current;
+}
 
 // Ceil-to-multiple for non-negative x (C++ int division truncates
 // toward zero, so Python's -(-x // m) * m idiom does NOT port).
@@ -1966,24 +2033,61 @@ void* ctl_open(const char* db_path, const CTTSConfig* cfg) {
 void ctl_close(void* handle) {
   auto* h = static_cast<LowerHandle*>(handle);
   if (!h) return;
+  for (auto& r : h->rules) regfree(&r.regex);
   ctn_db_close(h->ndb);
   delete h;
+}
+
+// Install the handle's normalization rules. Patterns arrive already
+// word-boundary-converted to POSIX form ([[:<:]]/[[:>:]] — the same
+// convert_word_boundaries output the Python loader keeps); glibc
+// regcomp rejects those BSD brackets, so they are translated to the
+// GNU \< / \> equivalents, which test the identical C-locale word set
+// the Python lookaround emulation uses (rules.py _WORD_START/_END).
+// Any pattern that still fails regcomp aborts the WHOLE set (rc -1)
+// and the caller falls back to the Python lowering — a partially
+// installed rule set would silently change synthesis output.
+int32_t ctl_set_rules(void* handle, int32_t n, const char** patterns,
+                      const char** replaces) {
+  auto* h = static_cast<LowerHandle*>(handle);
+  CLocaleScope c_locale;  // regcomp must see C-locale ctype tables
+  for (auto& r : h->rules) regfree(&r.regex);
+  h->rules.clear();
+  h->rules.reserve((size_t)(n > 0 ? n : 0));
+  for (int32_t i = 0; i < n; ++i) {
+    std::string pat(patterns[i]);
+    for (size_t pos; (pos = pat.find("[[:<:]]")) != std::string::npos;)
+      pat.replace(pos, 7, "\\<");
+    for (size_t pos; (pos = pat.find("[[:>:]]")) != std::string::npos;)
+      pat.replace(pos, 7, "\\>");
+    h->rules.emplace_back();
+    if (regcomp(&h->rules.back().regex, pat.c_str(), REG_EXTENDED) != 0) {
+      h->rules.pop_back();
+      for (auto& r : h->rules) regfree(&r.regex);
+      h->rules.clear();
+      return -1;
+    }
+    h->rules.back().replace = replaces[i];
+  }
+  return 0;
 }
 
 void ctl_begin(void* handle) {
   static_cast<LowerHandle*>(handle)->rows.clear();
 }
 
-// Compile one text into batch rows: normalize (numbers -> lowercase;
-// regex rule files are the Python path's job) -> compile_ops -> split
-// at sentence ends (speed 1.0 only; plan/split.py) -> walk each row.
-// Returns the number of rows appended, or -1 on error.
+// Compile one text into batch rows: normalize (numbers -> rule file ->
+// lowercase, the reference's exact order, ctts.c:3642-3655) ->
+// compile_ops -> split at sentence ends (speed 1.0 only;
+// plan/split.py) -> walk each row. Returns the number of rows
+// appended, or -1 on error.
 int32_t ctl_add_text(void* handle, const char* text, int64_t nbytes,
                      float speed, int32_t split) {
   auto* h = static_cast<LowerHandle*>(handle);
   std::string raw(text, (size_t)nbytes);
   Prosody pro = analyze_prosody(raw.c_str(), h->cfg.max_pitch_change);
-  std::string normalized = normalize_lowercase(expand_numbers(raw));
+  std::string normalized =
+      normalize_lowercase(lower_apply_rules(h, expand_numbers(raw)));
   CTTSConfig cfg = h->cfg;
   cfg.print_units = 0;
   PlanOps ops = compile_ops(h->ndb, normalized, &cfg);

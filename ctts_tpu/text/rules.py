@@ -89,11 +89,16 @@ def _posix_to_python(pattern: bytes) -> bytes:
 
 
 class NormRule:
-    __slots__ = ("regex", "replace")
+    __slots__ = ("regex", "replace", "posix")
 
-    def __init__(self, regex: "re.Pattern[bytes]", replace: bytes):
+    def __init__(self, regex: "re.Pattern[bytes]", replace: bytes,
+                 posix: bytes | None = None):
         self.regex = regex
         self.replace = replace
+        # The word-boundary-converted POSIX form of the pattern (before
+        # the Python-re translation) — what the native batch lowering
+        # hands to regcomp (plan/native_lower.py ctl_set_rules).
+        self.posix = posix
 
 
 class NormalizationRules:
@@ -154,7 +159,7 @@ class NormalizationRules:
                         file=sys.stderr,
                     )
                     continue
-                rules.append(NormRule(regex, replace))
+                rules.append(NormRule(regex, replace, bounded))
         if rules and verbose:
             print(f"Loaded {len(rules)} normalization rules", file=sys.stderr)
         return cls(rules)

@@ -113,3 +113,58 @@ def test_synthesize_native_equals_python(synths):
     for t, x, y in zip(texts, a, b):
         assert x.shape == y.shape, t
         assert np.array_equal(x, y), t
+
+
+@pytest.mark.parametrize("flavor", ["glibc", "full"])
+def test_lowering_bit_equal_with_rules(voice_db, flavor):
+    """Rule files through the native lowering (ctl_set_rules): the
+    reference applies normalization.csv on EVERY synthesis
+    (ctts.c:3647-3648), so the fast host path must stay available with
+    rules loaded and be byte-equal to the Python pipeline in both
+    regex flavors (glibc keeps 7 boundary-free rules; full compiles
+    the \\b rules via the GNU \\< \\> word boundaries)."""
+    from ctts_tpu.parallel.batch import BatchSynthesizer
+    from ctts_tpu.text.rules import NormalizationRules
+
+    rules = NormalizationRules.load(
+        "/root/reference/normalization.csv", verbose=False, flavor=flavor)
+    assert rules.rules, "reference rule file must load"
+    db = VoiceDatabase(voice_db)
+    config = config_defaults()
+    nat = BatchSynthesizer(db, config, rules=rules, native_plans=True,
+                           wire=False)
+    py = BatchSynthesizer(db, config, rules=rules, native_plans=False,
+                          wire=False)
+    assert nat._get_native_lowerer() is not None
+    # Texts chosen to trip the rules: word-initial r doubling, word-final
+    # t, intervocalic s voicing, literal-word rewrites, hiato splits.
+    texts = TEXTS + ["o brasil é bonito", "música boa demais",
+                     "casa suja rosa", "roupa do rei", "isso é a praia",
+                     "o robot", "meia teia"]
+    for speed in (1.0, 1.5):
+        nat_prep, ns = nat._lower_batch(texts, speed, True)
+        py_prep, ps = py._lower_batch(texts, speed, True)
+        assert ns == list(ps)
+        _compare_prepared(nat_prep, py_prep)
+
+
+def test_rejected_rule_falls_back_to_python(voice_db):
+    """A rule regcomp can't take must disable the native path for the
+    whole synthesizer (fallback to Python), never partially apply."""
+    import re
+
+    from ctts_tpu.parallel.batch import BatchSynthesizer
+    from ctts_tpu.text.rules import NormalizationRules, NormRule
+
+    # Python-only construct (non-greedy) that POSIX ERE rejects... most
+    # regcomps accept *?; use a backreference in the PATTERN, which
+    # POSIX ERE does not support. glibc accepts \1 in patterns as a GNU
+    # extension, so also cover the no-posix-form case (posix=None).
+    bad = NormalizationRules([NormRule(re.compile(rb"a"), b"b", None)])
+    db = VoiceDatabase(voice_db)
+    config = config_defaults()
+    bs = BatchSynthesizer(db, config, rules=bad, native_plans=True,
+                          wire=False)
+    assert bs._get_native_lowerer() is None  # constructor raised -> False
+    out = bs.synthesize(["a casa"])  # Python path still serves
+    assert out[0].size > 0

@@ -62,11 +62,12 @@ def build_db(root: str) -> str:
     return dbp
 
 
-def measure_c_reference(root: str, dbp: str) -> float:
-    """Single-core RTF of the reference C binary, or 0 if unavailable."""
+def compile_c_reference(root: str) -> str | None:
+    """Compile the reference C binary once, up front (compile time must
+    stay out of the measurement window). None if unavailable."""
     ref = "/root/reference/ctts.c"
     if not os.path.exists(ref) or shutil.which("gcc") is None:
-        return 0.0
+        return None
     binpath = os.path.join(root, "ctts_ref")
     try:
         subprocess.run(
@@ -74,26 +75,30 @@ def measure_c_reference(root: str, dbp: str) -> float:
             check=True, capture_output=True, timeout=120,
         )
     except Exception:
-        return 0.0
-    # Median of 3 full passes: the shared host CPU makes a single pass
-    # swing ~3x (observed 292-960x across bench runs), which dominates
-    # vs_baseline noise.
-    rtfs = []
-    for _ in range(3):
-        total_audio = 0.0
-        t0 = time.perf_counter()
-        for i, text in enumerate(TEXTS):
-            out = os.path.join(root, f"ref_{i}.wav")
-            r = subprocess.run(
-                [binpath, "synth", dbp, text, out, "1.0"],
-                capture_output=True, cwd=root, timeout=120,
-            )
-            if r.returncode != 0:
-                return 0.0
-            total_audio += (os.path.getsize(out) - 44) / 2 / SAMPLE_RATE
-        dt = time.perf_counter() - t0
-        rtfs.append(total_audio / dt if dt > 0 else 0.0)
-    return float(np.median(rtfs))
+        return None
+    return binpath
+
+
+def c_reference_pass(binpath: str, root: str, dbp: str) -> float:
+    """One full corpus pass of the C binary; its single-pass RTF.
+
+    The C binary swings ~3x run-to-run on this shared host (292-960x
+    observed), so vs_baseline is computed from passes INTERLEAVED with
+    the JAX stream blocks — same link/host weather on both sides —
+    with the median taken per side (VERDICT r4 weak #5)."""
+    total_audio = 0.0
+    t0 = time.perf_counter()
+    for i, text in enumerate(TEXTS):
+        out = os.path.join(root, f"ref_{i}.wav")
+        r = subprocess.run(
+            [binpath, "synth", dbp, text, out, "1.0"],
+            capture_output=True, cwd=root, timeout=120,
+        )
+        if r.returncode != 0:
+            return 0.0
+        total_audio += (os.path.getsize(out) - 44) / 2 / SAMPLE_RATE
+    dt = time.perf_counter() - t0
+    return total_audio / dt if dt > 0 else 0.0
 
 
 def warm_oom_halving(run, texts, floor):
@@ -264,18 +269,34 @@ def main() -> None:
 
     # Steady-state measurement through the pipelined serving loop
     # (device compute of batch N+1 overlaps batch N's device→host
-    # drain). Per-iteration rates with the MEDIAN reported: the tunnel
-    # transport's bandwidth swings ±40% between runs, and a single slow
-    # drain would misstate the steady-state capability.
+    # drain), INTERLEAVED with C-binary corpus passes in the same
+    # window: both sides swing with shared-host/tunnel weather (the C
+    # binary alone spans 292-960x across runs), so the ratio is only
+    # meaningful when both are sampled under the same conditions.
+    # Per-iteration rates with the MEDIAN reported; the first yield of
+    # each stream block is dropped (pipeline fill, not steady state).
     iters = int(os.environ.get("CTTS_BENCH_ITERS", "6"))
+    c_bin = compile_c_reference(root)
+    reps = 3 if c_bin else 1
+    per_rep = max(iters // reps, 2)
     rates = []
-    t0 = time.perf_counter()
-    for outs in bs.stream(texts for _ in range(iters)):
-        t1 = time.perf_counter()
-        rates.append(sum(o.shape[0] for o in outs) / SAMPLE_RATE / (t1 - t0))
-        t0 = t1
+    c_rtfs = []
+    for _ in range(reps):
+        block = []
+        t0 = time.perf_counter()
+        for outs in bs.stream(texts for _ in range(per_rep + 1)):
+            t1 = time.perf_counter()
+            block.append(
+                sum(o.shape[0] for o in outs) / SAMPLE_RATE / (t1 - t0))
+            t0 = t1
+        rates.extend(block[1:])
+        if c_bin:
+            c_rtfs.append(c_reference_pass(c_bin, root, dbp))
     rtf = float(np.median(rates))
     rtf_per_chip = rtf / max(n_chips, 1)
+    c_rtf = float(np.median(c_rtfs)) if c_rtfs else 0.0
+    vs_baseline = rtf / c_rtf if c_rtf > 0 else 0.0
+    # `outs` (the last stream batch) feeds the parity check below.
 
     # Device-compute-only rate (secondary): syncs on the 4-byte
     # out_lens transfer instead of draining audio, so it excludes the
@@ -316,6 +337,57 @@ def main() -> None:
         for b in bufs:  # wire handles carry (words, classes)
             drained += np.asarray(b).nbytes
     transfer_mbps = drained / (time.perf_counter() - tb0) / 1e6
+
+    # Sharded-program measurement on the real chip via a 1-device mesh
+    # (VERDICT r4 weak #1). The shard_map serving core is a DIFFERENT
+    # XLA program from the unsharded core (pcast casts, per-shard
+    # pack + wire encode, per-shard trim/collect); "8 chips ⇒ N×8" is
+    # only evidence once the mesh program's per-chip compute and e2e
+    # are measured on hardware and match the unsharded numbers. The
+    # mesh is collective-free by construction (parallel/mesh.py), so a
+    # 1-device mesh runs the identical per-chip program an 8-chip mesh
+    # would, minus ICI neighbors.
+    mesh_rtf = 0.0
+    mesh_compute_rtf = 0.0
+    mesh_matches = None
+    want_mesh = os.environ.get(
+        "CTTS_BENCH_MESH",
+        "1" if (backend == "tpu" and n_chips == 1) else "0") == "1"
+    if want_mesh:
+        from ctts_tpu.parallel.mesh import make_mesh as _mk
+
+        bs_m = BatchSynthesizer(db, config, mesh=_mk(jax.devices()[:1]),
+                                dims_floor=floor)
+        m_texts = warm_oom_halving(
+            lambda t: [None for _ in bs_m.stream([t])], texts, len(TEXTS))
+        m_iters = max(iters // 2, 3)
+        m_rates = []
+        m_outs = None
+        t0 = time.perf_counter()
+        for m_outs in bs_m.stream(m_texts for _ in range(m_iters + 1)):
+            t1 = time.perf_counter()
+            m_rates.append(
+                sum(o.shape[0] for o in m_outs) / SAMPLE_RATE / (t1 - t0))
+            t0 = t1
+        mesh_rtf = float(np.median(m_rates[1:]))
+        if m_texts == texts and m_outs is not None:
+            mesh_matches = bool(all(
+                a.shape == b.shape and np.array_equal(a, b)
+                for a, b in zip(m_outs, outs)))
+        # Compute-only, same pipelined-dispatch protocol as the
+        # unsharded number (K dispatches, one out_lens sync).
+        mc_rates = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            m_handles = [bs_m._dispatch(rows) for _ in range(K)]
+            m_audio = 0.0
+            for handles in m_handles:
+                for _, items, h in handles[1]:
+                    lens = np.asarray(h[3])
+                    m_audio += float(lens[: h[0]].sum()) / SAMPLE_RATE
+            mc_rates.append(m_audio / (time.perf_counter() - t0))
+        mesh_compute_rtf = float(np.median(mc_rates))
+        del bs_m
 
     # WSOLA stretch path (speed 1.5): separate bucket/compile; realtime
     # factor counts *output* audio seconds.
@@ -475,9 +547,6 @@ def main() -> None:
                               - got[:n].astype(np.int32))
                 s_max_abs = max(s_max_abs, float(diff.max() / 32768.0))
 
-    c_rtf = measure_c_reference(root, dbp)
-    vs_baseline = rtf / c_rtf if c_rtf > 0 else 0.0
-
     print(json.dumps({
         "metric": "audio_seconds_per_second_per_chip",
         "value": round(rtf_per_chip, 2),
@@ -489,6 +558,9 @@ def main() -> None:
         "stretch_x_realtime_per_chip": round(stretch_rtf, 2),
         "stretch_compute_x_realtime_per_chip": round(stretch_compute_rtf, 2),
         "device_compute_x_realtime_per_chip": round(compute_rtf, 2),
+        "mesh_x_realtime_per_chip": round(mesh_rtf, 2),
+        "mesh_compute_x_realtime_per_chip": round(mesh_compute_rtf, 2),
+        "mesh_matches_unsharded": mesh_matches,
         "paragraph_x_realtime_per_chip": round(paragraph_rtf, 2),
         "paragraph_parity_ok": paragraph_parity_ok,
         "mixed1024_aggregate_x_realtime": round(mixed1024_rtf, 2),

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ctts_tpu.ops.pallas import vmem_params
+from ctts_tpu.ops.pallas import out_struct, vmem_params
 from ctts_tpu.ops.pallas.compose import flat_roll_left, flat_roll_right
 
 F32 = jnp.float32
@@ -91,7 +91,8 @@ def assemble_regions(bufs_flat, offsets, live_len,
     vmem = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((OUT_ROWS, LANES), F32),
+        out_shape=out_struct((OUT_ROWS, LANES), F32,
+                             offsets, live_len, bufs_flat),
         in_specs=[smem((1, R)), smem((1, R)),
                   vmem((R * WREG // LANES, LANES))],
         out_specs=vmem((OUT_ROWS, LANES)),

@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ctts_tpu.ops.pallas import vmem_params
+from ctts_tpu.ops.pallas import out_struct, vmem_params
 from ctts_tpu.ops.pallas.compose import flat_roll_left, flat_roll_right
 
 F32 = jnp.float32
@@ -114,7 +114,8 @@ def compact_units(bufs_flat, starts, dst, seg_len,
     vmem = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((TOT_ROWS, LANES), F32),
+        out_shape=out_struct((TOT_ROWS, LANES), F32,
+                             starts, dst, seg_len, bufs_flat),
         in_specs=[smem((1, R * NBLK)), smem((1, R * NBLK)),
                   smem((1, R * NBLK)), smem((1, R)), smem((1, R)),
                   vmem((TOT // LANES, LANES))],

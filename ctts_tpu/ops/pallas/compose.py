@@ -44,7 +44,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from ctts_tpu.ops.pallas import vmem_params
+from ctts_tpu.ops.pallas import out_struct, vmem_params
 
 F32 = jnp.float32
 LANES = 128
@@ -173,9 +173,9 @@ def compose_units(base_off, cf_in, n_eff, ana, contrib, fo,
 
     kern = _make_kernel(U, UBUF, CFMAX, TOTP_ROWS, RW, PRE, export)
     out_shapes = (
-        jax.ShapeDtypeStruct((TOTP_ROWS, LANES), F32),
-        jax.ShapeDtypeStruct((U, SEG_ROWS, LANES), F32),
-        jax.ShapeDtypeStruct((U, TAIL_ROWS, LANES), F32),
+        out_struct((TOTP_ROWS, LANES), F32, base_off, contrib, fo),
+        out_struct((U, SEG_ROWS, LANES), F32, base_off, contrib, fo),
+        out_struct((U, TAIL_ROWS, LANES), F32, base_off, contrib, fo),
     )
     smem = functools.partial(pl.BlockSpec, memory_space=pltpu.SMEM)
     vmem = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)

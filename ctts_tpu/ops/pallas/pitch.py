@@ -33,7 +33,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from ctts_tpu.ops.pallas import vmem_params
+from ctts_tpu.ops.pallas import out_struct, vmem_params
 
 F32 = jnp.float32
 
@@ -124,7 +124,7 @@ def pitch_corr_components(seg, bh, bl, mask, interpret=False):
     ]
     ospec = pl.BlockSpec((nb, NLAG_PAD), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)
-    oshape = jax.ShapeDtypeStruct((n_pad, NLAG_PAD), F32)
+    oshape = out_struct((n_pad, NLAG_PAD), F32, seg, bh, bl, mask)
     outs = pl.pallas_call(
         _pitch_kernel,
         grid=grid,

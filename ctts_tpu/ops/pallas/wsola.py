@@ -49,7 +49,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ctts_tpu.ops.pallas import vmem_params
+from ctts_tpu.ops.pallas import out_struct, vmem_params
 from ctts_tpu.ops.pallas.compose import flat_roll_left, flat_roll_right
 
 F32 = jnp.float32
@@ -431,8 +431,8 @@ def wsola_frames_batch(inp_h, inp_l, sqs, sq4, input_count, nrun,
     acc, norm = pl.pallas_call(
         kern,
         grid=grid,
-        out_shape=(jax.ShapeDtypeStruct((Bp, OR, LANES), F32),
-                   jax.ShapeDtypeStruct((Bp, OR, LANES), F32)),
+        out_shape=(out_struct((Bp, OR, LANES), F32, inp_h, inp_l, sqs),
+                   out_struct((Bp, OR, LANES), F32, inp_h, inp_l, sqs)),
         in_specs=[smem((1, S, 2), lambda i: (i, 0, 0)),
                   vmem((S, SP // LANES, LANES), lambda i: (i, 0, 0)),
                   vmem((S, SP // LANES, LANES), lambda i: (i, 0, 0)),
@@ -483,8 +483,8 @@ def wsola_frames(inp_h, inp_l, sqs, sq4, input_count, nrun,
     win4 = hann(FRAME).reshape(4, LANES)
     acc, norm = pl.pallas_call(
         kern,
-        out_shape=(jax.ShapeDtypeStruct((OR, LANES), F32),
-                   jax.ShapeDtypeStruct((OR, LANES), F32)),
+        out_shape=(out_struct((OR, LANES), F32, inp_h, inp_l, sqs),
+                   out_struct((OR, LANES), F32, inp_h, inp_l, sqs)),
         in_specs=[smem((1, 2)),
                   vmem((SP // LANES, LANES)), vmem((SP // LANES, LANES)),
                   vmem((SP // LANES, LANES)), vmem((S4P // LANES, LANES)),

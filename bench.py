@@ -208,9 +208,13 @@ def main() -> None:
 
     import jax
 
-    if backend == "cpu-fallback":
+    if backend.startswith("cpu"):
         # See probe_backend: env JAX_PLATFORMS alone does not undo the
         # sitecustomize's config.update — force CPU in-process too.
+        # Applies to the healthy "cpu" probe as well: without this, a
+        # JAX_PLATFORMS=cpu bench under the axon sitecustomize probes
+        # cpu in the subprocess but silently initializes the TPU in the
+        # main process and mislabels every number.
         jax.config.update("jax_platforms", "cpu")
         from jax._src import xla_bridge as _xb
 

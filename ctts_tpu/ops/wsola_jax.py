@@ -103,7 +103,8 @@ import functools as _functools
 
 
 def _wsola_planes(inp, run_all, max_steps):
-    """Kernel input planes for one sentence: split halves and the
+    """Kernel input planes for one sentence: the padded f32 plane (the
+    kernel splits windows into exact bf16 halves in-register) and the
     shifted/stride-4 energy tables (values identical to the XLA path's
     sq where both read them), plus the dynamic run count."""
     S = inp.shape[0]
@@ -111,7 +112,6 @@ def _wsola_planes(inp, run_all, max_steps):
     pad2 = jnp.concatenate(
         [jnp.zeros(MAX_SHIFT, F32), inp, jnp.zeros(SP - S - MAX_SHIFT, F32)]
     )
-    ih, il = split_hi_lo(pad2)
     sq = _sliding_sumsq(pad2, OVERLAP)           # [SP - OVERLAP + 1]
     sqs = jnp.zeros(SP, F32).at[MAX_SHIFT:MAX_SHIFT + sq.shape[0]].set(sq)
     sq4 = sq[::4]
@@ -119,7 +119,7 @@ def _wsola_planes(inp, run_all, max_steps):
     S4P = _roundup(max(sq4.shape[0], 32 * max_steps + 2048), 1024)
     sq4p = jnp.zeros(S4P, F32).at[:sq4.shape[0]].set(sq4)
     nrun = jnp.sum(run_all.astype(jnp.int32))
-    return ih, il, sqs, sq4p, nrun
+    return pad2, sqs, sq4p, nrun
 
 
 @_functools.lru_cache(maxsize=None)
@@ -139,24 +139,24 @@ def _frames_fn(hop: int, out_size: int, interpret: bool):
     )
 
     @custom_batching.custom_vmap
-    def run(ih, il, sqs, sq4, input_count, nrun):
+    def run(iv, sqs, sq4, input_count, nrun):
         return wsola_frames(
-            ih, il, sqs, sq4, input_count, nrun, hop=hop,
+            iv, sqs, sq4, input_count, nrun, hop=hop,
             out_size=out_size, interpret=interpret)
 
     @run.def_vmap
-    def run_vmap(axis_size, in_batched, ih, il, sqs, sq4,
+    def run_vmap(axis_size, in_batched, iv, sqs, sq4,
                  input_count, nrun):
         def bc(x, b):
             return x if b else jnp.broadcast_to(
                 x, (axis_size,) + jnp.shape(x))
 
-        ih, il, sqs, sq4, input_count, nrun = (
+        iv, sqs, sq4, input_count, nrun = (
             bc(v, b) for v, b in zip(
-                (ih, il, sqs, sq4, input_count, nrun), in_batched))
-        S = batch_group_size(ih.shape[1], sq4.shape[1], out_size)
+                (iv, sqs, sq4, input_count, nrun), in_batched))
+        S = batch_group_size(iv.shape[1], sq4.shape[1], out_size)
         acc, norm = wsola_frames_batch(
-            ih, il, sqs, sq4, input_count, nrun, hop=hop,
+            iv, sqs, sq4, input_count, nrun, hop=hop,
             out_size=out_size, S=S, interpret=interpret)
         return (acc, norm), (True, True)
 
@@ -168,10 +168,10 @@ def _frames_pallas(inp, input_count, run_all, max_steps, hop, out_size):
     per-sentence kernel (or, under vmap, the S-interleaved batch
     kernel — see _frames_fn). Returns the (acc, norm) OLA accumulators
     (the kernel accumulates in the C's frame order)."""
-    ih, il, sqs, sq4p, nrun = _wsola_planes(inp, run_all, max_steps)
+    iv, sqs, sq4p, nrun = _wsola_planes(inp, run_all, max_steps)
     return _frames_fn(
         hop, out_size, os.environ.get("CTTS_PALLAS_INTERPRET") == "1",
-    )(ih, il, sqs, sq4p, input_count, nrun)
+    )(iv, sqs, sq4p, input_count, nrun)
 
 
 def synthesis_hop_for_speed(speed: float) -> int:

@@ -105,13 +105,13 @@ def test_batch_kernel_parity(monkeypatch):
                       + (jnp.int32(count),))
 
     refs = [
-        wsola_frames(ih, il, sqs, sq4, cnt, nrun, hop=hop,
+        wsola_frames(iv, sqs, sq4, cnt, nrun, hop=hop,
                      out_size=out_size, interpret=True)
-        for ih, il, sqs, sq4, nrun, cnt in planes
+        for iv, sqs, sq4, nrun, cnt in planes
     ]
-    stack = [jnp.stack([p[i] for p in planes]) for i in range(4)]
-    nruns = jnp.stack([p[4] for p in planes])
-    cnts = jnp.stack([p[5] for p in planes])
+    stack = [jnp.stack([p[i] for p in planes]) for i in range(3)]
+    nruns = jnp.stack([p[3] for p in planes])
+    cnts = jnp.stack([p[4] for p in planes])
     from ctts_tpu.parallel.batch import _no_persistent_cache
 
     for Sgrp in (2, 5):  # 5 rows: S=2 exercises padding, S=5 one program
@@ -120,7 +120,7 @@ def test_batch_kernel_parity(monkeypatch):
             # segfaults XLA:CPU's cache writer (put_executable_and_time
             # — same CHECK as the mesh cores, parallel/batch.py:115).
             acc_b, norm_b = wsola_frames_batch(
-                stack[0], stack[1], stack[2], stack[3], cnts, nruns,
+                stack[0], stack[1], stack[2], cnts, nruns,
                 hop=hop, out_size=out_size, S=Sgrp, interpret=True)
         for i, (acc_r, norm_r) in enumerate(refs):
             assert np.array_equal(np.asarray(acc_b[i]),

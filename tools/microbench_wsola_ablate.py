@@ -57,9 +57,90 @@ def make_variant_kernel(hop, OR, S, variant):
         th_h = flat_roll_left(vh, qo_prev)[:3]
         th_l = flat_roll_left(vl, qo_prev)[:3]
         sq2 = jnp.max(flat_roll_left(sqv, qo_prev + MAX_SHIFT)[0:1, 0:1])
+        if variant == "search_offpath":
+            # Full coarse compute, result kept live through c16 (cheap
+            # vector add) but NOT feeding qo: cuts the argmax->scalar->
+            # roll dependency chain to measure how much of the coarse
+            # cost is latency vs throughput.
+            ct4h = _circulant(th_h, 4, 5)
+            ct4l = _circulant(th_l, 4, 5)
+            sq1c = jnp.concatenate([
+                sv4[0:1],
+                flat_roll_left(sv4, 32)[0:1],
+                flat_roll_left(sv4, 64)[0:1],
+                jnp.zeros((5, LANES), F32),
+            ])
+            corr_c = _corr_at(vh[:8], vl[:8], vh[1:9], vl[1:9],
+                              ct4h, ct4l, up4, sq1c, sq2)
+            qo = jnp.clip(qo_prev + jnp.int32(1), 0, 2 * MAX_SHIFT)
+            f4h = flat_roll_left(vh, qo)[:4]
+            f4l = flat_roll_left(vl, qo)[:4]
+            frame = F32(256.0) * f4h + f4l
+            contrib = jnp.trunc(frame * win4)
+            c16 = jnp.concatenate(
+                [contrib + F32(1e-30) * corr_c[:4],
+                 jnp.zeros((12, LANES), F32)])
+            return qo, c16
         if variant == "no_search":
             best_off = jnp.int32(0) + (th_h[0, 0] > F32(1e30)).astype(
                 jnp.int32)  # keep th live
+            offset = best_off
+        elif variant in ("no_circulant", "no_dots", "no_divide",
+                         "no_argmax"):
+            if variant == "no_circulant":
+                ct4h = jnp.broadcast_to(th_h[0], (LANES, LANES)) \
+                    + F32(0.0)
+                ct4l = jnp.broadcast_to(th_l[0], (LANES, LANES))
+            else:
+                ct4h = _circulant(th_h, 4, 5)
+                ct4l = _circulant(th_l, 4, 5)
+            sq1c = jnp.concatenate([
+                sv4[0:1],
+                flat_roll_left(sv4, 32)[0:1],
+                flat_roll_left(sv4, 64)[0:1],
+                jnp.zeros((5, LANES), F32),
+            ])
+            if variant == "no_dots":
+                corr_c = ct4h[:8] + ct4l[:8] + sq1c * sq2
+            elif variant == "no_divide":
+                BF = jnp.bfloat16
+                lo_m = jnp.bfloat16(1.0) - up4
+                cth, ctl = ct4h.astype(BF), ct4l.astype(BF)
+                cu_h, cl_h = cth * up4, cth * lo_m
+                cu_l, cl_l = ctl * up4, ctl * lo_m
+                Ra = jnp.concatenate([vh[:8], vl[:8]]).astype(BF)
+                Rb = jnp.concatenate([vh[1:9], vl[1:9]]).astype(BF)
+                from ctts_tpu.ops.pallas.wsola import _DN, _gsum
+                def dotT(r, c):
+                    return lax.dot_general(
+                        r, c, _DN, preferred_element_type=F32)
+                d1 = dotT(Ra, cu_h); d2 = dotT(Rb, cl_h)
+                d3 = dotT(Ra, cu_l); d4 = dotT(Rb, cl_l)
+                hh = _gsum(d1[:8] + d2[:8])
+                mid = _gsum(d3[:8] + d4[:8] + d1[8:] + d2[8:])
+                ll = _gsum(d3[8:] + d4[8:])
+                corr_c = (F32(65536.0) * hh + F32(256.0) * mid + ll
+                          + sq1c * sq2)  # keep energies live, no sqrt/div
+            else:
+                corr_c = _corr_at(vh[:8], vl[:8], vh[1:9], vl[1:9],
+                                  ct4h, ct4l, up4, sq1c, sq2)
+            if variant == "no_argmax":
+                qo = jnp.clip(qo_prev + jnp.int32(1), 0, 2 * MAX_SHIFT)
+                f4h = flat_roll_left(vh, qo)[:4]
+                f4l = flat_roll_left(vl, qo)[:4]
+                frame = F32(256.0) * f4h + f4l
+                contrib = jnp.trunc(frame * win4)
+                c16 = jnp.concatenate(
+                    [contrib + F32(1e-30) * corr_c[:4],
+                     jnp.zeros((12, LANES), F32)])
+                return qo, c16
+            pos_c = nominal + 4 * cc - MAX_SHIFT
+            valid_c = c_ok & (pos_c >= 0) & (pos_c + FRAME <= input_count)
+            corr_c = jnp.where(valid_c, corr_c, -jnp.inf)
+            best_corr, bc = _first_argmax(corr_c, jnp.where(c_ok, cc, big))
+            best_off = 4 * bc - MAX_SHIFT
+            none_valid = best_corr == -jnp.inf
+            best_off = jnp.where(none_valid, 0, best_off)
             offset = best_off
         else:
             ct4h = _circulant(th_h, 4, 5)
@@ -83,7 +164,17 @@ def make_variant_kernel(hop, OR, S, variant):
             if variant == "no_fine":
                 offset = best_off
             else:
-                fidx0 = best_off + MAX_SHIFT - 3
+                if variant == "fine_fixedoff":
+                    # Cut the coarse-argmax -> scalar -> fine-roll
+                    # dependency: static fine base, all work kept.
+                    fidx0 = jnp.int32(125)
+                elif variant == "fine_oldscalar":
+                    # Dynamic rolls, but fed by the PREVIOUS frame's
+                    # scalar: distinguishes dynamic-roll throughput
+                    # cost from fresh-argmax dependency latency.
+                    fidx0 = jnp.clip(qo_prev, 0, 250)
+                else:
+                    fidx0 = best_off + MAX_SHIFT - 3
                 fh = flat_roll_left(vh, (fidx0 + _LOADW) % _LOADW)
                 fl = flat_roll_left(vl, (fidx0 + _LOADW) % _LOADW)
                 ct1h = _circulant(th_h, 1, 3)
@@ -257,7 +348,11 @@ def main():
     frames_total = int(np.asarray(nrun).sum())
 
     S = int(os.environ.get("ABL_S", "8"))
-    for variant in ("full", "no_fine", "no_search", "no_ola", "loads_only"):
+    variants = os.environ.get(
+        "ABL_VARIANTS",
+        "full,no_fine,no_search,no_ola,loads_only,search_offpath"
+    ).split(",")
+    for variant in variants:
         f = jax.jit(functools.partial(
             run_variant, variant, S,
             hop=hop, out_size=out_size))

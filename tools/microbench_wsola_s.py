@@ -69,11 +69,10 @@ def main():
         run_all = steps * 128 + FRAME <= c
         return _wsola_planes(x, run_all, max_steps)
 
-    ih, il, sqs, sq4, nrun = jax.jit(jax.vmap(planes))(
+    iv, sqs, sq4, nrun = jax.jit(jax.vmap(planes))(
         jnp.asarray(inp), jnp.asarray(counts))
     ic = jnp.asarray(counts)
-    ih, il, sqs, sq4, nrun = jax.block_until_ready(
-        (ih, il, sqs, sq4, nrun))
+    iv, sqs, sq4, nrun = jax.block_until_ready((iv, sqs, sq4, nrun))
     frames_total = int(np.asarray(nrun).sum())
 
     ref = None
@@ -81,7 +80,7 @@ def main():
         try:
             f = jax.jit(lambda *a: wsola_frames_batch(
                 *a, hop=hop, out_size=out_size, S=S))
-            acc, norm = f(ih, il, sqs, sq4, ic, nrun)
+            acc, norm = f(iv, sqs, sq4, ic, nrun)
             acc, norm = jax.block_until_ready((acc, norm))
             accn = np.asarray(acc)
             if ref is None:
@@ -90,7 +89,7 @@ def main():
             ts = []
             for _ in range(4):
                 t0 = time.perf_counter()
-                r = f(ih, il, sqs, sq4, ic, nrun)
+                r = f(iv, sqs, sq4, ic, nrun)
                 jax.block_until_ready(r)
                 ts.append(time.perf_counter() - t0)
             ms = float(np.median(ts)) * 1e3

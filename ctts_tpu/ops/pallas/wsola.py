@@ -194,6 +194,24 @@ def _first_argmax(corr, idx):
     return m, i
 
 
+def _first_argmax_v(corr, idx):
+    """_first_argmax with the VALUE kept as a [1, 1] vector: the value
+    only ever feeds compares/selects (vector-domain ops), so keeping it
+    out of the scalar core skips one vector→scalar transfer per search.
+    The index is extracted as before (it becomes a roll amount)."""
+    m = jnp.max(corr, keepdims=True)[:1, :1]
+    i = jnp.min(jnp.where(corr == m, idx, jnp.int32(_BIG)))
+    return m, i
+
+
+def _first_argmax_vv(corr, idx):
+    """_first_argmax with BOTH value and index as [1, 1] vectors."""
+    m = jnp.max(corr, keepdims=True)[:1, :1]
+    i = jnp.min(jnp.where(corr == m, idx, jnp.int32(_BIG)),
+                keepdims=True)[:1, :1]
+    return m, i
+
+
 def _frame_coarse(k, qo_prev, input_count, v, sqv, sv4, consts):
     """Tail prep + coarse search for one frame: everything up to (and
     including) the coarse argmax scalar extraction. Split from
@@ -231,11 +249,18 @@ def _frame_coarse(k, qo_prev, input_count, v, sqv, sv4, consts):
     valid_c = c_ok & (pos_c >= 0) & \
         (pos_c + FRAME <= input_count)
     corr_c = jnp.where(valid_c, corr_c, -jnp.inf)
-    best_corr, bc = _first_argmax(corr_c, jnp.where(c_ok, cc, big))
-    best_off = 4 * bc - MAX_SHIFT
-    none_valid = best_corr == -jnp.inf
-    best_off = jnp.where(none_valid, 0, best_off)
-    best_corr = jnp.where(none_valid, F32(-2.0), best_corr)
+    best_corr, bc = _first_argmax_v(corr_c, jnp.where(c_ok, cc, big))
+    # none_valid in SCALAR arithmetic (exactly ⇔ every corr_c masked:
+    # _corr_at never produces -inf itself — num finite, denom ≥ 1 or
+    # forced 0): the valid-c range [lo, hi] over c ∈ [0, 64] is empty.
+    lo_c = jnp.maximum(0, (MAX_SHIFT - nominal + 3) // 4)
+    hi_c = jnp.minimum(NCOARSE - 1,
+                       (input_count - FRAME - nominal + MAX_SHIFT) // 4)
+    none_valid = hi_c < lo_c
+    best_off = jnp.where(none_valid, 0, 4 * bc - MAX_SHIFT)
+    # best_corr stays a [1,1] vector (only ever compared/selected —
+    # the -inf⇔none_valid equivalence holds in vector domain too).
+    best_corr = jnp.where(best_corr == -jnp.inf, F32(-2.0), best_corr)
     return th_h, th_l, sq2, best_corr, best_off
 
 
@@ -270,17 +295,22 @@ def _frame_decide(k, input_count, v, sqv, th_h, th_l, sq2,
         (nominal + fpos - MAX_SHIFT >= 0) & \
         (nominal + fpos - MAX_SHIFT + FRAME <= input_count)
     corr_f = jnp.where(f_ok, corr_f, -jnp.inf)
-    fine_corr, bf = _first_argmax(corr_f,
-                                  jnp.where(ai == 0, bi, big))
+    # The whole final decision runs in the VECTOR domain on [1,1]
+    # values (fine_corr/bf/improved never become scalars); only the
+    # resulting qo is extracted — one vector→scalar transfer per frame
+    # instead of three.
+    fine_corr, bfi = _first_argmax_vv(corr_f,
+                                      jnp.where(ai == 0, bi, big))
     improved = fine_corr > best_corr
-    offset = jnp.where(improved, best_off + bf - 3, best_off)
+    offset = jnp.where(improved, best_off + (bfi - 3), best_off)
 
     offset = jnp.where(k > 0, offset, 0)
     actual = nominal + offset
     actual = jnp.where(actual + FRAME > input_count,
                        input_count - FRAME, actual)
     actual = jnp.maximum(actual, 0)
-    return actual - nominal + MAX_SHIFT      # qo ∈ [0, 256]
+    qo = actual - nominal + MAX_SHIFT        # [1,1], ∈ [0, 256]
+    return jnp.max(qo)
 
 
 def _frame_emit(qo, v, win4):
@@ -317,6 +347,21 @@ def _load_rolled(ref, pos):
     return flat_roll_left(w, rem)
 
 
+def _load_rolled_rows(ref, pos):
+    """_load_rolled for pos ≡ 0 (mod 128) — every nominal-position
+    load, since nominal = k·AHOP and AHOP = 128. The flat roll's lane
+    component is provably zero, so it reduces to ONE dynamic sublane
+    rotate instead of flat_roll_left's four rotates + select (the
+    compiler cannot fold those itself: the amounts are traced)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    q8 = (pos // 1024) * 8
+    j = (pos - (pos // 1024) * 1024) // 128   # row remainder, 0..7
+    w = ref[pl.ds(pl.multiple_of(q8, 8), 16), :]
+    return pltpu.roll(w, (16 - j) % 16, 0)
+
+
 def _make_kernel(hop, OR):
     from jax.experimental import pallas as pl
 
@@ -332,8 +377,8 @@ def _make_kernel(hop, OR):
 
         def body(k, qo_prev):
             nominal = k * AHOP
-            v = _load_rolled(iv_ref, nominal)        # [16,128]
-            sqv = _load_rolled(sqs_ref, nominal)     # sqs[nominal + j]
+            v = _load_rolled_rows(iv_ref, nominal)   # [16,128]
+            sqv = _load_rolled_rows(sqs_ref, nominal)
             sv4 = _load_rolled(sq4_ref, 32 * k)
             qo, c16 = _frame_step(k, qo_prev, input_count,
                                   v, sqv, sv4, win4, consts)
@@ -393,6 +438,15 @@ def _make_batch_kernel(hop, OR, S):
             w = ref[s, pl.ds(pl.multiple_of(q8, 8), 16), :]
             return flat_roll_left(w, rem)
 
+        def load_rows_s(ref, s, pos):
+            # pos ≡ 0 (mod 128): pure sublane rotate (_load_rolled_rows).
+            from jax.experimental.pallas import tpu as pltpu
+
+            q8 = (pos // 1024) * 8
+            j = (pos - (pos // 1024) * 1024) // 128
+            w = ref[s, pl.ds(pl.multiple_of(q8, 8), 16), :]
+            return pltpu.roll(w, (16 - j) % 16, 0)
+
         def body(k, qos):
             nominal = k * AHOP
             # Phase 1 — every sentence's loads + coarse search. All S
@@ -402,8 +456,8 @@ def _make_batch_kernel(hop, OR, S):
             st = []
             for s in range(S):
                 input_count = scal_ref[0, s, 0]
-                v = load_rolled_s(iv_ref, s, nominal)
-                sqv = load_rolled_s(sqs_ref, s, nominal)
+                v = load_rows_s(iv_ref, s, nominal)
+                sqv = load_rows_s(sqs_ref, s, nominal)
                 sv4 = load_rolled_s(sq4_ref, s, 32 * k)
                 st.append((v, sqv) + _frame_coarse(
                     k, qos[s], input_count, v, sqv, sv4, consts))

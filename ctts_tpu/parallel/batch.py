@@ -345,6 +345,10 @@ class BatchSynthesizer:
             stacked["threshold"][:] = thr
             stacked["speed"][:] = np.float32(speed)
             stacked["refine_trips"][:n] = [trips[ri] for ri in idxs]
+            order = self._length_order(stacked, n)
+            for k in stacked:
+                stacked[k][:n] = stacked[k][order]
+            idxs = [idxs[int(p)] for p in order]
             for k in stacked:  # pad slots replicate the last row
                 stacked[k][n:] = stacked[k][n - 1]
             shared = shared_plan_values(stacked, self.voice.lengths, bd)
@@ -432,11 +436,11 @@ class BatchSynthesizer:
         for i, w in enumerate(walked):
             bd = bucket_dims(derive_dims(w, self.db), self.dims_floor)
             buckets[bd].append((i, w))
-        return (
-            len(plans),
-            [(bd, items, self._prep_bucket(bd, items), pack)
-             for bd, items in buckets.items()],
-        )
+        per_bucket = []
+        for bd, items in buckets.items():
+            items, prep = self._prep_bucket(bd, items)
+            per_bucket.append((bd, items, prep, pack))
+        return len(plans), per_bucket
 
     def _enqueue(self, prepared):
         n_plans, per_bucket = prepared
@@ -463,6 +467,21 @@ class BatchSynthesizer:
                 results[i] = out
         return results
 
+    @staticmethod
+    def _length_order(stacked, n):
+        """Descending per-row output-length order (stable).
+
+        Rows are grouped S-consecutive per WSOLA lockstep program
+        (ops/pallas/wsola.py _make_batch_kernel), and each group runs
+        to its LONGEST member's frame count — unsorted serving batches
+        measured ~25% masked lockstep waste. Sorting is pure host-side
+        slot renumbering: rows are independent under vmap and every
+        output is mapped back by item index, so bits are unchanged.
+        Descending, so the replicated pad rows clone the SHORTEST row."""
+        key = (stacked["region_len"][:n].sum(axis=1)
+               + stacked["region_pause"][:n].sum(axis=1))
+        return np.argsort(-key, kind="stable")
+
     def _prep_bucket(self, dims: PlanDims, items):
         n = len(items)
         multiple = self.mesh.devices.size if self.mesh is not None else 1
@@ -479,6 +498,10 @@ class BatchSynthesizer:
                 }
             for k, v in dp.arrays.items():
                 stacked[k][slot] = v
+        order = self._length_order(stacked, n)
+        for k in stacked:
+            stacked[k][:n] = stacked[k][order]
+        items = [items[int(p)] for p in order]
         # Pad slots replicate the last plan (masked out on return).
         for slot in range(n, bsz):
             for k in stacked:
@@ -487,7 +510,7 @@ class BatchSynthesizer:
         from ctts_tpu.synth.device import shared_plan_values
 
         shared = shared_plan_values(stacked, self.voice.lengths, dims)
-        return n, stacked, shared
+        return items, (n, stacked, shared)
 
     def _enqueue_bucket(self, dims: PlanDims, prep, pack: bool = True):
         n, stacked, shared_np = prep

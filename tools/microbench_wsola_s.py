@@ -62,6 +62,11 @@ def main():
              + rng.normal(0, 400, n))
         inp[b, :n] = np.trunc(np.clip(x, -32768, 32767))
         counts[b] = n
+    if os.environ.get("SORTED", "1") == "1":
+        # Production batches arrive length-sorted (batch.py
+        # _length_order); group-of-S lockstep waste ~0.
+        order = np.argsort(-counts, kind="stable")
+        inp, counts = inp[order], counts[order]
 
     # Planes once (vmapped host-side build).
     def planes(x, c):

@@ -69,6 +69,9 @@ def main() -> None:
     t0 = time.perf_counter()
     from ctts_tpu.synth.device import derive_dims, fill_device_plan, walk_plan
     walked = [walk_plan(p, db) for p in plans]
+    # Length-sort like the production batcher (batch.py _length_order):
+    # WSOLA lockstep groups otherwise run to their longest member.
+    walked.sort(key=lambda w: -w.total_len)
     all_dims = [derive_dims(w, db) for w in walked]
     import dataclasses
     dims = all_dims[0]

@@ -50,7 +50,19 @@ def main():
     config = config_defaults()
     floor = {"U": 32, "R": 16, "FD": 8, "WREG": 32768, "SMAX": 131072,
              "CONTW": 32768, "WIN": 2048, "CFMAX": 1024}
-    bs = BatchSynthesizer(db, config, dims_floor=floor)
+    # CTTS_PHASES_RULES=1 loads the reference rule file (glibc flavor):
+    # the host `lower` phase must stay native-C-fast with rules on —
+    # the reference applies normalization.csv on every synthesis.
+    rules = None
+    if os.environ.get("CTTS_PHASES_RULES") == "1":
+        from ctts_tpu.text.rules import NormalizationRules
+
+        rules = NormalizationRules.load(
+            "/root/reference/normalization.csv", verbose=False)
+    bs = BatchSynthesizer(db, config, rules=rules, dims_floor=floor)
+    if rules is not None:
+        assert bs._get_native_lowerer() is not None, \
+            "rules must go through the native lowering"
     texts = TEXTS * (int(sys.argv[2]) if len(sys.argv) > 2 else 4)
 
     # Warm compile via the stream path.

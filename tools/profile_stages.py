@@ -60,6 +60,10 @@ def main() -> None:
     voice = DeviceVoice(db)
 
     texts = TEXTS * args.mult
+    if os.environ.get("CTTS_PROF_NO_Q") == "1":
+        # Strip interrogatives: isolates the qfinal while_loop's share
+        # of the contour stage (empty qf set ⇒ zero trips).
+        texts = [t.replace("?", ".") for t in texts]
     t0 = time.perf_counter()
     plans = [compile_plan(db, t, config, None, args.speed) for t in texts]
     t_plan = time.perf_counter() - t0

@@ -168,3 +168,32 @@ def test_rejected_rule_falls_back_to_python(voice_db):
     assert bs._get_native_lowerer() is None  # constructor raised -> False
     out = bs.synthesize(["a casa"])  # Python path still serves
     assert out[0].size > 0
+
+
+def test_synthesize_with_rules_native_equals_python(voice_db):
+    """End-to-end with the reference rule file loaded: the native-
+    lowered serving output must be sample-identical to the Python-
+    lowered one, and rules must audibly apply (different output than
+    rules=None for a rule-triggering text)."""
+    from ctts_tpu.parallel.batch import BatchSynthesizer
+    from ctts_tpu.text.rules import NormalizationRules
+
+    rules = NormalizationRules.load(
+        "/root/reference/normalization.csv", verbose=False, flavor="full")
+    db = VoiceDatabase(voice_db)
+    config = config_defaults()
+    nat = BatchSynthesizer(db, config, rules=rules, native_plans=True,
+                           wire=False)
+    py = BatchSynthesizer(db, config, rules=rules, native_plans=False,
+                          wire=False)
+    plain = BatchSynthesizer(db, config, native_plans=False, wire=False)
+    texts = ["o brasil é bonito", "música boa", "como vai você"]
+    a = nat.synthesize(texts)
+    b = py.synthesize(texts)
+    c = plain.synthesize(texts)
+    for t, x, y in zip(texts, a, b):
+        assert x.shape == y.shape, t
+        assert np.array_equal(x, y), t
+    # "brasil"->"brazil" and "música"->"muzica" change unit selection.
+    assert (a[0].shape != c[0].shape or not np.array_equal(a[0], c[0]))
+    assert (a[1].shape != c[1].shape or not np.array_equal(a[1], c[1]))

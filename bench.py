@@ -245,8 +245,8 @@ def main() -> None:
 
     config = config_defaults()
     # One dims bucket for the whole corpus → a single XLA compilation.
-    floor = {"U": 32, "R": 16, "FD": 8, "WREG": 32768, "SMAX": 131072,
-             "CONTW": 32768, "WIN": 2048, "CFMAX": 1024}
+    floor = {"U": 32, "R": 16, "FD": 8, "WREG": 32768, "SMAX": 114688,
+             "CONTW": 28672, "WIN": 2048, "CFMAX": 1024}
     bs = BatchSynthesizer(db, config, mesh=mesh, dims_floor=floor)
 
     # Batch 128 (mult 8): the serving period is compute-bound and the

@@ -161,7 +161,15 @@ def bucket_dims(d: PlanDims, floor: Optional[dict] = None) -> PlanDims:
     `floor` raises minimums (e.g. {"U": 32, "SMAX": 131072}) so a whole
     corpus lands in one bucket."""
     floor = floor or {}
-    smax = _next_pow2(max(d.SMAX, floor.get("SMAX", 0)), 16384)
+    if "SMAX" in floor:
+        # An explicit floor means the serving operator already chose
+        # the bucket coarseness; honor it at 16384 granularity instead
+        # of pow2-doubling past it (a 109k-sample corpus under a 131072
+        # pow2 bucket paid ~12% dead padding in every SMAX-proportional
+        # stage: pack, contour workspace, assembly, OMAX).
+        smax = _roundup(max(d.SMAX, floor["SMAX"]), 16384)
+    else:
+        smax = _next_pow2(d.SMAX, 16384)
     # WIN/CFMAX derive from the plan's max crossfade, so short sentences
     # would otherwise land in their own buckets (MARGIN differs) and
     # fragment a batch into serial dispatches. Widening them is safe:
@@ -182,7 +190,9 @@ def bucket_dims(d: PlanDims, floor: Optional[dict] = None) -> PlanDims:
         MARGIN=margin_b,
         FD=_next_pow2(max(d.FD, floor.get("FD", 0)), 4),
         WREG=wreg,
-        CONTW=min(_next_pow2(max(d.CONTW, floor.get("CONTW", 0)), 4096),
+        CONTW=min((_roundup(max(d.CONTW, floor["CONTW"]), 4096)
+                   if "CONTW" in floor else
+                   _next_pow2(max(d.CONTW, 0), 4096)),
                   wreg - margin_b),
         SMAX=smax,
         OMAX=_omax_for(smax, d.stretch, d.synth_hop),

@@ -85,7 +85,7 @@ def main() -> None:
 
     texts = TEXTS * 4
     plans = [compile_plan(db, t, config, None, 1.0) for t in texts]
-    floor = {"U": 32, "R": 16, "FD": 8, "WREG": 32768, "SMAX": 131072,
+    floor = {"U": 32, "R": 16, "FD": 8, "WREG": 32768, "SMAX": 114688,
              "CONTW": 16384}
     from ctts_tpu.synth.device import derive_dims, fill_device_plan, walk_plan
     import dataclasses

@@ -48,8 +48,8 @@ def main():
     dbp = build_db(root)
     db = VoiceDatabase(dbp)
     config = config_defaults()
-    floor = {"U": 32, "R": 16, "FD": 8, "WREG": 32768, "SMAX": 131072,
-             "CONTW": 32768, "WIN": 2048, "CFMAX": 1024}
+    floor = {"U": 32, "R": 16, "FD": 8, "WREG": 32768, "SMAX": 114688,
+             "CONTW": 28672, "WIN": 2048, "CFMAX": 1024}
     # CTTS_PHASES_RULES=1 loads the reference rule file (glibc flavor):
     # the host `lower` phase must stay native-C-fast with rules on —
     # the reference applies normalization.csv on every synthesis.

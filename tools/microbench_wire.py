@@ -40,8 +40,8 @@ def main():
     dbp = build_db(root)
     db = VoiceDatabase(dbp)
     config = config_defaults()
-    floor = {"U": 32, "R": 16, "FD": 8, "WREG": 32768, "SMAX": 131072,
-             "CONTW": 32768, "WIN": 2048, "CFMAX": 1024}
+    floor = {"U": 32, "R": 16, "FD": 8, "WREG": 32768, "SMAX": 114688,
+             "CONTW": 28672, "WIN": 2048, "CFMAX": 1024}
     texts = TEXTS * 4
 
     res = {}

@@ -68,7 +68,7 @@ def main() -> None:
     plans = [compile_plan(db, t, config, None, args.speed) for t in texts]
     t_plan = time.perf_counter() - t0
 
-    floor = {"U": 32, "R": 16, "FD": 8, "WREG": 32768, "SMAX": 131072,
+    floor = {"U": 32, "R": 16, "FD": 8, "WREG": 32768, "SMAX": 114688,
              "CONTW": 16384}
     t0 = time.perf_counter()
     from ctts_tpu.synth.device import derive_dims, fill_device_plan, walk_plan

@@ -187,25 +187,20 @@ def _corr_at(Rah, Ral, Rbh, Rbl, cth, ctl, up, sq1, sq2):
     return jnp.where(denom < F32(1.0), F32(0.0), num / denom)
 
 
-def _first_argmax(corr, idx):
-    """Value + EARLIEST index among ties (= jnp.argmax)."""
-    m = jnp.max(corr)
-    i = jnp.min(jnp.where(corr == m, idx, jnp.int32(_BIG)))
-    return m, i
-
-
 def _first_argmax_v(corr, idx):
-    """_first_argmax with the VALUE kept as a [1, 1] vector: the value
-    only ever feeds compares/selects (vector-domain ops), so keeping it
-    out of the scalar core skips one vector→scalar transfer per search.
-    The index is extracted as before (it becomes a roll amount)."""
+    """Max value + EARLIEST index among ties (= jnp.argmax semantics).
+    The value stays a [1, 1] vector — it only ever feeds compares and
+    selects, so keeping it out of the scalar core skips one
+    vector→scalar transfer per search. The index is extracted (it
+    becomes a roll amount)."""
     m = jnp.max(corr, keepdims=True)[:1, :1]
     i = jnp.min(jnp.where(corr == m, idx, jnp.int32(_BIG)))
     return m, i
 
 
 def _first_argmax_vv(corr, idx):
-    """_first_argmax with BOTH value and index as [1, 1] vectors."""
+    """_first_argmax_v with BOTH value and index as [1, 1] vectors
+    (the fine search's index feeds only vector-domain arithmetic)."""
     m = jnp.max(corr, keepdims=True)[:1, :1]
     i = jnp.min(jnp.where(corr == m, idx, jnp.int32(_BIG)),
                 keepdims=True)[:1, :1]

@@ -354,10 +354,14 @@ def main() -> None:
     mesh_rtf = 0.0
     mesh_compute_rtf = 0.0
     mesh_matches = None
+    mesh_error = ""
     want_mesh = os.environ.get(
         "CTTS_BENCH_MESH",
         "1" if (backend == "tpu" and n_chips == 1) else "0") == "1"
+    # Guarded: a mesh-only failure (fresh compile path, different XLA
+    # program) must degrade to mesh_error, never zero the whole bench.
     if want_mesh:
+      try:
         from ctts_tpu.parallel.mesh import make_mesh as _mk
 
         bs_m = BatchSynthesizer(db, config, mesh=_mk(jax.devices()[:1]),
@@ -392,6 +396,11 @@ def main() -> None:
             mc_rates.append(m_audio / (time.perf_counter() - t0))
         mesh_compute_rtf = float(np.median(mc_rates))
         del bs_m
+      except Exception as e:
+        import traceback
+
+        traceback.print_exc()
+        mesh_error = f"{type(e).__name__}: {e}"[:300]
 
     # WSOLA stretch path (speed 1.5): separate bucket/compile; realtime
     # factor counts *output* audio seconds.
@@ -565,6 +574,7 @@ def main() -> None:
         "mesh_x_realtime_per_chip": round(mesh_rtf, 2),
         "mesh_compute_x_realtime_per_chip": round(mesh_compute_rtf, 2),
         "mesh_matches_unsharded": mesh_matches,
+        "mesh_error": mesh_error,
         "paragraph_x_realtime_per_chip": round(paragraph_rtf, 2),
         "paragraph_parity_ok": paragraph_parity_ok,
         "mixed1024_aggregate_x_realtime": round(mixed1024_rtf, 2),
